@@ -1,0 +1,438 @@
+"""Sparse matrix containers as JAX pytrees.
+
+TPU-native re-design of the reference's single container
+(`source/objects/ell_matrix.hpp`): instead of one CUDA ELL class with a
+`change_order(4)` float4 re-tiling trick (`ell_matrix.hpp:362`), we provide
+ELL / CSR / COO / BSR / DIA pytrees whose SpMV/SpMM run as XLA ops (gather +
+segment-sum map well onto the VPU; BSR block products onto the MXU).  Rows
+are padded to multiples of the (8,128) float32 tile so every kernel sees
+static, tile-aligned shapes.
+
+The padding convention is: padded rows have `data == 0` and column index 0,
+so gathered products contribute exactly zero — the analogue of the
+reference's `Ell_matrix::padding` (`ell_matrix.hpp:404`) without the
+stride-4 layout games.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lanczos_tpu.ops.operator import LinearOperator
+
+ROW_TILE = 8  # float32 sublane tile; callers may pad more aggressively.
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _as_2d_scipy(a):
+    import scipy.sparse as sp
+
+    if not sp.issparse(a):
+        a = sp.csr_matrix(np.asarray(a))
+    return a
+
+
+# ---------------------------------------------------------------------------
+# ELL
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class EllMatrix(LinearOperator):
+    """ELLPACK: row-major (n_rows_pad, width) value/index planes.
+
+    Equivalent capability to reference `Ell_matrix` (`ell_matrix.hpp:11`)
+    with arbitrary width (the reference's fast path silently assumes
+    width == 4, `spmv_spmm.hpp:116-119`).
+    """
+
+    data: jax.Array  # (n_rows_pad, width)
+    indices: jax.Array  # (n_rows_pad, width) int32
+    n_rows_true: int
+    n_cols_true: int
+
+    @property
+    def shape(self):
+        return (self.n_rows_true, self.n_cols_true)
+
+    @property
+    def padded_rows(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0] * self.data.shape[1])
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        """y[i] = sum_k data[i,k] * x[idx[i,k]] (reference `ell::SpMV`,
+        `spmv_spmm.hpp:106`), as an XLA gather + lane reduction."""
+        gathered = jnp.take(x, self.indices, axis=0)  # (rows_pad, width)
+        y = jnp.sum(self.data * gathered, axis=1)
+        return y[: self.n_rows_true]
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        """Fused SpMM (reference `ell::SpMM`, `spmv_spmm.hpp:138`)."""
+        gathered = jnp.take(X, self.indices, axis=0)  # (rows_pad, width, p)
+        y = jnp.einsum(
+            "rw,rwp->rp", self.data, gathered,
+            preferred_element_type=self.data.dtype,
+        )
+        return y[: self.n_rows_true]
+
+    def to_dense(self) -> jax.Array:
+        n, m = self.shape
+        dense = jnp.zeros((self.padded_rows, m), self.dtype)
+        rows = jnp.arange(self.padded_rows)[:, None]
+        dense = dense.at[rows, self.indices].add(self.data)
+        return dense[:n]
+
+    def tree_flatten(self):
+        return (self.data, self.indices), (self.n_rows_true, self.n_cols_true)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+def ell_from_scipy(a, dtype=jnp.float32, row_pad: int = ROW_TILE, width: int | None = None) -> EllMatrix:
+    a = _as_2d_scipy(a).tocsr()
+    a.sum_duplicates()
+    n, m = a.shape
+    per_row = np.diff(a.indptr)
+    w = int(per_row.max()) if width is None else width
+    w = max(w, 1)
+    rows_pad = _round_up(n, row_pad)
+    data = np.zeros((rows_pad, w), dtype=np.dtype(dtype))
+    idx = np.zeros((rows_pad, w), dtype=np.int32)
+    for i in range(n):
+        lo, hi = a.indptr[i], a.indptr[i + 1]
+        k = hi - lo
+        data[i, :k] = a.data[lo:hi]
+        idx[i, :k] = a.indices[lo:hi]
+    return EllMatrix(jnp.asarray(data), jnp.asarray(idx), n, m)
+
+
+# ---------------------------------------------------------------------------
+# COO
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CooMatrix(LinearOperator):
+    """COO triplets, padded with (row=n_rows_true pad slot trick: padding
+    entries carry data == 0 and row/col == 0, contributing nothing)."""
+
+    rows: jax.Array  # (nnz_pad,) int32
+    cols: jax.Array  # (nnz_pad,) int32
+    data: jax.Array  # (nnz_pad,)
+    n_rows_true: int
+    n_cols_true: int
+
+    @property
+    def shape(self):
+        return (self.n_rows_true, self.n_cols_true)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        prod = self.data * jnp.take(x, self.cols, axis=0)
+        return jax.ops.segment_sum(prod, self.rows, num_segments=self.n_rows_true)
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        prod = self.data[:, None] * jnp.take(X, self.cols, axis=0)
+        return jax.ops.segment_sum(prod, self.rows, num_segments=self.n_rows_true)
+
+    def tree_flatten(self):
+        return (self.rows, self.cols, self.data), (self.n_rows_true, self.n_cols_true)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def coo_from_scipy(a, dtype=jnp.float32, nnz_pad: int = 128) -> CooMatrix:
+    a = _as_2d_scipy(a).tocoo()
+    a.sum_duplicates()
+    n, m = a.shape
+    nnz = a.nnz
+    nnzp = _round_up(max(nnz, 1), nnz_pad)
+    rows = np.zeros(nnzp, np.int32)
+    cols = np.zeros(nnzp, np.int32)
+    data = np.zeros(nnzp, np.dtype(dtype))
+    rows[:nnz] = a.row
+    cols[:nnz] = a.col
+    data[:nnz] = a.data
+    return CooMatrix(jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(data), n, m)
+
+
+# ---------------------------------------------------------------------------
+# CSR
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class CsrMatrix(LinearOperator):
+    """CSR with an explicit row-id plane for segment reductions.
+
+    XLA has no native sparse row-pointer kernel; the TPU-friendly execution
+    is gather + `segment_sum`, so we carry both `indptr` (interop) and the
+    expanded `row_ids` (compute path).
+    """
+
+    indptr: jax.Array  # (n_rows_true + 1,) int32
+    indices: jax.Array  # (nnz_pad,) int32
+    data: jax.Array  # (nnz_pad,)
+    row_ids: jax.Array  # (nnz_pad,) int32
+    n_rows_true: int
+    n_cols_true: int
+
+    @property
+    def shape(self):
+        return (self.n_rows_true, self.n_cols_true)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        prod = self.data * jnp.take(x, self.indices, axis=0)
+        return jax.ops.segment_sum(prod, self.row_ids, num_segments=self.n_rows_true)
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        prod = self.data[:, None] * jnp.take(X, self.indices, axis=0)
+        return jax.ops.segment_sum(prod, self.row_ids, num_segments=self.n_rows_true)
+
+    def tree_flatten(self):
+        return (
+            (self.indptr, self.indices, self.data, self.row_ids),
+            (self.n_rows_true, self.n_cols_true),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def csr_from_scipy(a, dtype=jnp.float32, nnz_pad: int = 128) -> CsrMatrix:
+    a = _as_2d_scipy(a).tocsr()
+    a.sum_duplicates()
+    n, m = a.shape
+    nnz = a.nnz
+    nnzp = _round_up(max(nnz, 1), nnz_pad)
+    indices = np.zeros(nnzp, np.int32)
+    data = np.zeros(nnzp, np.dtype(dtype))
+    row_ids = np.full(nnzp, 0, np.int32)
+    indices[:nnz] = a.indices
+    data[:nnz] = a.data
+    row_ids[:nnz] = np.repeat(np.arange(n, dtype=np.int32), np.diff(a.indptr))
+    return CsrMatrix(
+        jnp.asarray(a.indptr.astype(np.int32)),
+        jnp.asarray(indices),
+        jnp.asarray(data),
+        jnp.asarray(row_ids),
+        n,
+        m,
+    )
+
+
+# ---------------------------------------------------------------------------
+# BSR
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class BsrMatrix(LinearOperator):
+    """Block-sparse rows: (nblk, bs, bs) dense blocks; block products hit
+    the MXU via einsum, replacing the reference's scalar row loops."""
+
+    data: jax.Array  # (nblk_pad, bs, bs)
+    block_cols: jax.Array  # (nblk_pad,) int32 — block-column index
+    block_rows: jax.Array  # (nblk_pad,) int32 — block-row id per block
+    n_rows_true: int
+    n_cols_true: int
+
+    @property
+    def shape(self):
+        return (self.n_rows_true, self.n_cols_true)
+
+    @property
+    def block_size(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(np.prod(self.data.shape))
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        bs = self.block_size
+        nbr = -(-self.n_rows_true // bs)
+        xb = jnp.reshape(jnp.pad(x, (0, (-x.shape[0]) % bs)), (-1, bs))  # (nbc, bs)
+        gathered = jnp.take(xb, self.block_cols, axis=0)  # (nblk, bs)
+        prods = jnp.einsum(
+            "bij,bj->bi", self.data, gathered, preferred_element_type=self.dtype
+        )
+        yb = jax.ops.segment_sum(prods, self.block_rows, num_segments=nbr)
+        return jnp.reshape(yb, (-1,))[: self.n_rows_true]
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        bs = self.block_size
+        nbr = -(-self.n_rows_true // bs)
+        p = X.shape[1]
+        Xb = jnp.reshape(
+            jnp.pad(X, ((0, (-X.shape[0]) % bs), (0, 0))), (-1, bs, p)
+        )
+        gathered = jnp.take(Xb, self.block_cols, axis=0)  # (nblk, bs, p)
+        prods = jnp.einsum(
+            "bij,bjp->bip", self.data, gathered, preferred_element_type=self.dtype
+        )
+        Yb = jax.ops.segment_sum(prods, self.block_rows, num_segments=nbr)
+        return jnp.reshape(Yb, (-1, p))[: self.n_rows_true]
+
+    def tree_flatten(self):
+        return (
+            (self.data, self.block_cols, self.block_rows),
+            (self.n_rows_true, self.n_cols_true),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def bsr_from_scipy(a, block_size: int = 8, dtype=jnp.float32) -> BsrMatrix:
+    import scipy.sparse as sp
+
+    a = _as_2d_scipy(a).tocsr()
+    n, m = a.shape
+    bs = block_size
+    npad, mpad = _round_up(n, bs), _round_up(m, bs)
+    if (npad, mpad) != (n, m):
+        a = a.copy()
+        a.resize((npad, mpad))
+    ab = sp.bsr_matrix(a, blocksize=(bs, bs))
+    ab.sum_duplicates()
+    nblk = ab.data.shape[0]
+    block_rows = np.repeat(
+        np.arange(ab.indptr.shape[0] - 1, dtype=np.int32), np.diff(ab.indptr)
+    )
+    return BsrMatrix(
+        jnp.asarray(ab.data.astype(np.dtype(dtype))),
+        jnp.asarray(ab.indices.astype(np.int32)),
+        jnp.asarray(block_rows),
+        n,
+        m,
+    )
+
+
+# ---------------------------------------------------------------------------
+# DIA (generalized diagonal) — gather-free SpMV via shifted slices
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix(LinearOperator):
+    """Diagonal-offset storage: y = sum_d data[d] * shift(x, offsets[d]).
+
+    Offsets are static pytree aux-data, so each shifted read lowers to a
+    static slice of a zero-padded x — no gather at all.  This is the
+    TPU-native answer to the reference's `change_order(4)` vectorized-load
+    trick (`ell_matrix.hpp:362`): contiguity by construction.
+    """
+
+    data: jax.Array  # (ndiag, n_rows_pad)
+    offsets: tuple[int, ...]  # static
+    n_rows_true: int
+    n_cols_true: int
+
+    @property
+    def shape(self):
+        return (self.n_rows_true, self.n_cols_true)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(np.prod(self.data.shape))
+
+    def _halo(self) -> int:
+        return max((abs(o) for o in self.offsets), default=0)
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        h = self._halo()
+        npad = self.data.shape[1]
+        xp = jnp.zeros(npad + 2 * h, x.dtype)
+        xp = xp.at[h : h + x.shape[0]].set(x)
+        y = jnp.zeros(npad, x.dtype)
+        for d, off in enumerate(self.offsets):
+            y = y + self.data[d] * jax.lax.dynamic_slice(xp, (h + off,), (npad,))
+        return y[: self.n_rows_true]
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        h = self._halo()
+        npad = self.data.shape[1]
+        p = X.shape[1]
+        Xp = jnp.zeros((npad + 2 * h, p), X.dtype)
+        Xp = Xp.at[h : h + X.shape[0]].set(X)
+        Y = jnp.zeros((npad, p), X.dtype)
+        for d, off in enumerate(self.offsets):
+            Y = Y + self.data[d][:, None] * jax.lax.dynamic_slice(
+                Xp, (h + off, 0), (npad, p)
+            )
+        return Y[: self.n_rows_true]
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets, self.n_rows_true, self.n_cols_true)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def dia_from_scipy(a, dtype=jnp.float32, row_pad: int = ROW_TILE) -> DiaMatrix:
+    a = _as_2d_scipy(a).tocoo()
+    a.sum_duplicates()
+    n, m = a.shape
+    offs = np.unique(a.col.astype(np.int64) - a.row.astype(np.int64))
+    npad = _round_up(n, row_pad)
+    data = np.zeros((len(offs), npad), np.dtype(dtype))
+    off_pos = {int(o): i for i, o in enumerate(offs)}
+    for r, c, v in zip(a.row, a.col, a.data):
+        data[off_pos[int(c) - int(r)], r] += v
+    return DiaMatrix(jnp.asarray(data), tuple(int(o) for o in offs), n, m)

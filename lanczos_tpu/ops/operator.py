@@ -1,0 +1,85 @@
+"""Linear-operator protocol for the Lanczos methods.
+
+The reference hard-wires its algorithms to one container (`Ell_matrix`,
+reference `source/objects/ell_matrix.hpp`).  Here every Lanczos/FDTD method
+takes any object implementing this protocol, so the same `lax.scan`
+recurrence runs over ELL/CSR/COO/BSR matrices, the matrix-free Maxwell
+stencil operator, or a sharded distributed operator.
+"""
+
+from __future__ import annotations
+
+import abc
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+class LinearOperator(abc.ABC):
+    """A symmetric linear operator y = A @ x usable inside jit/scan.
+
+    Implementations must be pytrees (registered via
+    ``jax.tree_util.register_pytree_node``) so they can be closed over or
+    passed through ``jax.jit`` / ``lax.scan`` without host sync.
+    """
+
+    @property
+    @abc.abstractmethod
+    def shape(self) -> tuple[int, int]:
+        ...
+
+    @property
+    @abc.abstractmethod
+    def dtype(self) -> Any:
+        ...
+
+    @abc.abstractmethod
+    def mv(self, x: jax.Array) -> jax.Array:
+        """Matrix-vector product, x: (n,) -> (n,)."""
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        """Matrix-(tall dense)matrix product, X: (n, p) -> (n, p).
+
+        Default: vmap of mv over columns; formats override with a fused
+        SpMM (the reference's hottest kernel, `spmv_spmm.hpp:138`).
+        """
+        return jax.vmap(self.mv, in_axes=1, out_axes=1)(X)
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    def __matmul__(self, x: jax.Array) -> jax.Array:
+        if x.ndim == 1:
+            return self.mv(x)
+        return self.mm(x)
+
+
+@jax.tree_util.register_pytree_node_class
+class MatrixOperator(LinearOperator):
+    """Dense-matrix operator (testing / small oracles)."""
+
+    def __init__(self, a: jax.Array):
+        self.a = a
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+    def mv(self, x):
+        return self.a @ x
+
+    def mm(self, X):
+        return self.a @ X
+
+    def tree_flatten(self):
+        return (self.a,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)

@@ -1,0 +1,87 @@
+"""Sparse container SpMV/SpMM vs scipy dense oracle (SURVEY.md §4a)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from lanczos_tpu.ops import (
+    bsr_from_scipy,
+    coo_from_scipy,
+    csr_from_scipy,
+    dia_from_scipy,
+    ell_from_scipy,
+)
+from lanczos_tpu.models.laplacian import laplacian_2d_scipy
+from lanczos_tpu.models.maxwell import assemble_maxwell_A
+
+FROMS = {
+    "ell": ell_from_scipy,
+    "csr": csr_from_scipy,
+    "coo": coo_from_scipy,
+    "dia": dia_from_scipy,
+    "bsr": lambda a, dtype: bsr_from_scipy(a, block_size=4, dtype=dtype),
+}
+
+
+def _random_sparse(rng, n, m, density=0.05):
+    a = sp.random(n, m, density=density, random_state=np.random.RandomState(7))
+    return a.tocsr()
+
+
+@pytest.mark.parametrize("fmt", sorted(FROMS))
+@pytest.mark.parametrize("case", ["random", "laplacian", "maxwell"])
+def test_spmv_matches_scipy(fmt, case, rng):
+    if case == "random":
+        a = _random_sparse(rng, 93, 93)
+    elif case == "laplacian":
+        a = laplacian_2d_scipy(11)
+    else:
+        a = assemble_maxwell_A(2, 3, 2)
+    mat = FROMS[fmt](a, dtype=jnp.float64)
+    x = rng.standard_normal(a.shape[1])
+    got = np.asarray(mat.mv(jnp.asarray(x)))
+    np.testing.assert_allclose(got, a @ x, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("fmt", sorted(FROMS))
+def test_spmm_matches_scipy(fmt, rng):
+    a = laplacian_2d_scipy(9)
+    mat = FROMS[fmt](a, dtype=jnp.float64)
+    X = rng.standard_normal((a.shape[1], 6))
+    got = np.asarray(mat.mm(jnp.asarray(X)))
+    np.testing.assert_allclose(got, a @ X, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("fmt", sorted(FROMS))
+def test_jit_and_scan_compatible(fmt, rng):
+    a = laplacian_2d_scipy(6)
+    mat = FROMS[fmt](a, dtype=jnp.float64)
+    x = jnp.asarray(rng.standard_normal(a.shape[1]))
+
+    @jax.jit
+    def three_steps(m, v):
+        def body(carry, _):
+            return m.mv(carry), None
+
+        out, _ = jax.lax.scan(body, v, None, length=3)
+        return out
+
+    got = np.asarray(three_steps(mat, x))
+    want = a @ (a @ (a @ x))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_ell_to_dense(rng):
+    a = _random_sparse(rng, 40, 40)
+    mat = ell_from_scipy(a, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(mat.to_dense()), a.toarray(), atol=1e-14)
+
+
+def test_ell_row_padding_is_harmless(rng):
+    a = laplacian_2d_scipy(5)  # 25 rows -> padded to 32
+    mat = ell_from_scipy(a, dtype=jnp.float64, row_pad=32)
+    assert mat.padded_rows == 32
+    x = rng.standard_normal(25)
+    np.testing.assert_allclose(np.asarray(mat.mv(jnp.asarray(x))), a @ x, atol=1e-12)
