@@ -1,0 +1,167 @@
+"""Block Lanczos tridiagonalization as a `lax.scan`.
+
+Same recurrence as the reference (`methods/block_lanczos.hpp:13-80`):
+  beta_0^2 = B^T B;  Q_0 = B * invsqrtm(beta_0^2)
+  W = A Q_0;  alpha_0 = sym(W^T Q_0);  W -= Q_0 alpha_0
+  loop j = 1..m-1:
+    beta_j = sqrtm(W^T W);  Q_1 = W * invsqrtm(W^T W)
+    W = A Q_1 - Q_0 beta_j
+    alpha_j = 0.5 (W^T Q_1 + Q_1^T W);  W -= Q_1 alpha_j
+
+All dense block math (Gram products `mm_tt`/`mm_tt2`, tall x small updates
+`mm_ts` — reference `kernels/mm_tt.hpp`, `mm_tt2.hpp`, `mm_ts.hpp`) is
+expressed as `dot_general` on the MXU; the per-iteration sqrtm/inv-sqrtm
+uses the in-graph Jacobi eigensolver (`ops/smalleig.py`) instead of the
+warp-level kernel (`kernels/my_sqrtm_cusolver.hpp`) or syevjBatched.
+
+Beyond the reference: full/selective(periodic) block re-orthogonalization
+against the stored basis, and rank-revealing pseudo-inverse handling of
+block breakdown.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lanczos_tpu.ops.operator import LinearOperator
+from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BlockLanczosResult:
+    """alphas: (m, p, p); betas: (m, p, p) with betas[0] = sqrtm(B^T B) and
+    betas[1:] the subdiagonal blocks; trace: (m, p) row lc of each block;
+    basis: (m, n, p) if requested."""
+
+    alphas: jax.Array
+    betas: jax.Array
+    trace: jax.Array
+    basis: jax.Array | None
+
+
+def _sym(g):
+    return 0.5 * (g + g.T)
+
+
+def _gram(x, y):
+    """x^T y on the MXU (reference mm_tt / mm_tt2 kernels)."""
+    return jax.lax.dot_general(
+        x, y, (((0,), (0,)), ((), ())), preferred_element_type=x.dtype
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "m",
+        "reorth",
+        "store_basis",
+        "eig_backend",
+        "eig_sweeps",
+        "breakdown_eps",
+    ),
+)
+def block_lanczos(
+    a: LinearOperator,
+    b: jax.Array,
+    m: int,
+    lc: jax.Array | int | None = None,
+    *,
+    reorth: str = "none",
+    store_basis: bool = False,
+    eig_backend: str = "jacobi",
+    eig_sweeps: int = 10,
+    breakdown_eps: float = 0.0,
+) -> BlockLanczosResult:
+    if reorth not in ("none", "full", "periodic"):
+        raise ValueError(f"unknown reorth mode {reorth!r}")
+    need_basis = store_basis or reorth in ("full", "periodic")
+    n, p = b.shape
+    dtype = b.dtype
+    lc_idx = jnp.asarray(0 if lc is None else lc, jnp.int32)
+
+    def trace_at(q):
+        return jax.lax.dynamic_index_in_dim(q, lc_idx, axis=0, keepdims=False)
+
+    def sqrtm_inv(g):
+        return sqrtm_invsqrtm(
+            g, backend=eig_backend, sweeps=eig_sweeps, breakdown_eps=breakdown_eps
+        )
+
+    # -- first half-iteration -------------------------------------------------
+    gram0 = _gram(b, b)
+    beta0, inv0 = sqrtm_inv(gram0)
+    q0 = b @ inv0  # reference mm_ts (block_lanczos.hpp:34)
+    w = a.mm(q0)
+    alpha0 = _sym(_gram(w, q0))
+    w = w - q0 @ alpha0
+
+    karr = jnp.arange(m)
+    if need_basis:
+        basis0 = jnp.zeros((m, n, p), dtype).at[0].set(q0)
+    else:
+        basis0 = jnp.zeros((1, 1, 1), dtype)
+
+    def block_cgs2(wv, basis, valid_mask):
+        # W -= Q_k (Q_k^T W) over all valid blocks, twice (CGS2).
+        for _ in range(2):
+            coeffs = jnp.einsum(
+                "knp,nq->kpq", basis, wv, preferred_element_type=dtype
+            )
+            coeffs = coeffs * valid_mask[:, None, None]
+            wv = wv - jnp.einsum(
+                "knp,kpq->nq", basis, coeffs, preferred_element_type=dtype
+            )
+        return wv
+
+    def body(carry, j):
+        q_prev, wv, basis = carry
+        gram = _gram(wv, wv)
+        beta, inv = sqrtm_inv(gram)
+        q = wv @ inv
+        wn = a.mm(q) - q_prev @ beta
+        alpha = _sym(_gram(wn, q))
+        wn = wn - q @ alpha
+
+        if need_basis:
+            basis = jax.lax.dynamic_update_index_in_dim(basis, q, j, 0)
+        if reorth == "full":
+            valid = (karr <= j).astype(dtype)
+            wn = block_cgs2(wn, basis, valid)
+        elif reorth == "periodic":
+            valid = (karr <= j).astype(dtype)
+            wn = jax.lax.cond(
+                (j % 2) == 0,
+                lambda v: block_cgs2(v, basis, valid),
+                lambda v: v,
+                wn,
+            )
+
+        return (q, wn, basis), (alpha, beta, trace_at(q))
+
+    carry0 = (q0, w, basis0)
+    if m > 1:
+        carry, (alphas_r, betas_r, traces_r) = jax.lax.scan(
+            body, carry0, jnp.arange(1, m)
+        )
+        basis_final = carry[2]
+        alphas = jnp.concatenate([alpha0[None], alphas_r])
+        betas = jnp.concatenate([beta0[None], betas_r])
+        trace = jnp.concatenate([trace_at(q0)[None], traces_r])
+    else:
+        basis_final = basis0
+        alphas = alpha0[None]
+        betas = beta0[None]
+        trace = trace_at(q0)[None]
+
+    return BlockLanczosResult(
+        alphas=alphas,
+        betas=betas,
+        trace=trace,
+        basis=basis_final if store_basis else None,
+    )

@@ -1,0 +1,65 @@
+"""Matrix-exponential action via Lanczos: u(T) = expm(T*A) b at a receiver.
+
+The end-to-end pipeline of the reference driver:
+  vector: solution = beta_0 * dot(expm(T_end*T) e_1, q_trace)
+          (test_lanczos.cu:102-113)
+  block:  solution = q_trace^T (expm(T_end*T)[:, :p] @ sqrtm(B^T B))
+          (test_lanczos.cu:270-287)
+where T is the (block-)tridiagonal Lanczos matrix and q_trace holds the
+receiver row of each Krylov block (the basis itself is never stored —
+the reference's key memory-saving trick, test_lanczos.cu:56-60).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lanczos_tpu.methods.block_lanczos import block_lanczos
+from lanczos_tpu.methods.vector_lanczos import vector_lanczos
+from lanczos_tpu.ops.smalleig import expm_sym
+from lanczos_tpu.ops.tridiag import (
+    assemble_block_tridiagonal,
+    assemble_tridiagonal,
+)
+
+
+@partial(jax.jit, static_argnames=("m", "reorth"))
+def lanczos_expm_action(
+    a,
+    b: jax.Array,
+    m: int,
+    t_end: float,
+    lc: jax.Array | int,
+    *,
+    reorth: str = "none",
+):
+    """Scalar approximation of [expm(t_end*A) b]_{lc} via m-step Lanczos."""
+    res = vector_lanczos(a, b, m, lc, reorth=reorth)
+    t = assemble_tridiagonal(res.alphas, res.betas[1:])
+    e = expm_sym(t_end * t, backend="lax")
+    # beta_0 * (expm(T) e1) . trace
+    return res.betas[0] * jnp.sum(e[:, 0] * res.trace)
+
+
+@partial(jax.jit, static_argnames=("m", "reorth", "eig_backend"))
+def block_lanczos_expm_action(
+    a,
+    b: jax.Array,
+    m: int,
+    t_end: float,
+    lc: jax.Array | int,
+    *,
+    reorth: str = "none",
+    eig_backend: str = "jacobi",
+):
+    """Row lc (length p) of expm(t_end*A) B via m-step block Lanczos."""
+    res = block_lanczos(a, b, m, lc, reorth=reorth, eig_backend=eig_backend)
+    p = b.shape[1]
+    t = assemble_block_tridiagonal(res.alphas, res.betas[1:])
+    e = expm_sym(t_end * t, backend="lax")
+    f1 = e[:, :p] @ res.betas[0]  # expm(T) E_1 sqrtm(B^T B)
+    q = res.trace.reshape(-1)  # (m*p,)
+    return q @ f1

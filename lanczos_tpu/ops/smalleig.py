@@ -1,0 +1,163 @@
+"""Small symmetric eigenproblems inside jit/scan.
+
+The block-Lanczos recurrence needs sqrtm / inv-sqrtm of an N_COL x N_COL SPD
+Gram matrix every iteration.  The reference implements this as a single-block
+warp-level Householder tridiagonalization + serial Wilkinson-shift QL kernel
+(`source/kernels/my_sqrtm_cusolver.hpp`) or cuSOLVER syevjBatched
+(`source/utils/lib_utils.hpp:696`).  Neither exists on TPU; instead we use a
+*parallel-ordered cyclic Jacobi* eigensolver expressed entirely as p x p
+matmuls (MXU work) with a fixed sweep count — the same bounded-iteration
+trade the reference makes (`global_iter = 3*N_COL`, my_sqrtm_cusolver.hpp:371)
+so the whole solve stays inside `lax.scan` with static shapes.
+
+A `jnp.linalg.eigh` backend is kept as the oracle / out-of-scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_robin_pairs(p: int) -> np.ndarray:
+    """Round-robin tournament schedule: (p-1) rounds of p/2 disjoint pairs.
+
+    Standard circle method: fix 0, rotate 1..p-1.  Requires even p.
+    """
+    assert p % 2 == 0
+    rounds = []
+    others = list(range(1, p))
+    for _ in range(p - 1):
+        lineup = [0] + others
+        pairs = [(lineup[i], lineup[p - 1 - i]) for i in range(p // 2)]
+        rounds.append(pairs)
+        others = others[-1:] + others[:-1]
+    return np.asarray(rounds, dtype=np.int32)  # (p-1, p/2, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def jacobi_eigh(a: jax.Array, sweeps: int = 10):
+    """Eigendecomposition of a symmetric matrix by parallel cyclic Jacobi.
+
+    Returns (w, v) with a ~= v @ diag(w) @ v.T.  Supports leading batch
+    dimensions.  All inner steps are p x p matmuls -> MXU-mapped; the fixed
+    sweep count keeps the graph static (no convergence-dependent control
+    flow), which is what lets it live inside a `lax.scan` Lanczos body.
+    """
+    batch_shape = a.shape[:-2]
+    p = a.shape[-1]
+    a = a.reshape((-1, p, p))
+
+    podd = p % 2 == 1
+    pp = p + 1 if podd else p
+    if podd:
+        a = jnp.pad(a, ((0, 0), (0, 1), (0, 1)))
+        # decouple the pad row: unit diagonal, zero off-diagonal
+        a = a.at[:, p, p].set(1.0)
+
+    schedule = _round_robin_pairs(pp)  # (pp-1, pp/2, 2) static
+    n_rounds = schedule.shape[0]
+    eye = jnp.eye(pp, dtype=a.dtype)
+
+    def one_round(av, pairs):
+        a_, v_ = av
+        ii = pairs[:, 0]
+        jj = pairs[:, 1]
+        app = a_[:, ii, ii]
+        aqq = a_[:, jj, jj]
+        apq = a_[:, ii, jj]
+        # Inner rotation (|theta| <= pi/4), Golub & Van Loan sym.schur2:
+        # cyclic Jacobi is only guaranteed to converge with the smaller
+        # root; the apq == 0 guard also keeps odd-size pad rows decoupled.
+        nz = apq != 0.0
+        tau = (aqq - app) / jnp.where(nz, 2.0 * apq, 1.0)
+        sgn = jnp.where(tau >= 0.0, 1.0, -1.0).astype(a_.dtype)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(nz, t, 0.0)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        bsz = a_.shape[0]
+        j = jnp.broadcast_to(eye, (bsz, pp, pp))
+        j = j.at[:, ii, ii].set(c)
+        j = j.at[:, jj, jj].set(c)
+        j = j.at[:, ii, jj].set(s)
+        j = j.at[:, jj, ii].set(-s)
+        a_new = jnp.einsum(
+            "bki,bkl,blj->bij", j, a_, j, preferred_element_type=a_.dtype
+        )
+        # re-symmetrize to kill rounding drift
+        a_new = 0.5 * (a_new + jnp.swapaxes(a_new, -1, -2))
+        v_new = jnp.einsum("bkl,blj->bkj", v_, j, preferred_element_type=a_.dtype)
+        return (a_new, v_new), None
+
+    sched = jnp.asarray(schedule)
+
+    def one_sweep(av, _):
+        av, _ = jax.lax.scan(one_round, av, sched)
+        return av, None
+
+    v0 = jnp.broadcast_to(eye, a.shape).astype(a.dtype)
+    (a_final, v_final), _ = jax.lax.scan(one_sweep, (a, v0), None, length=sweeps)
+
+    w = jnp.diagonal(a_final, axis1=-2, axis2=-1)
+    if podd:
+        w = w[:, :p]
+        v_final = v_final[:, :p, :p]
+    return (
+        w.reshape(batch_shape + (p,)),
+        v_final.reshape(batch_shape + (p, p)),
+    )
+
+
+def eigh(a: jax.Array, backend: str = "jacobi", sweeps: int = 10):
+    """Symmetric eigendecomposition with selectable backend."""
+    if backend == "jacobi":
+        return jacobi_eigh(a, sweeps=sweeps)
+    return jnp.linalg.eigh(a)
+
+
+def sqrtm_invsqrtm(
+    a: jax.Array,
+    backend: str = "jacobi",
+    sweeps: int = 10,
+    breakdown_eps: float = 0.0,
+):
+    """(sqrtm(A), pinv(sqrtm(A))) of an SPD (Gram) matrix.
+
+    Mirrors the reference semantics: eigendecompose, take sqrt(|lambda|)
+    (the abs() guards tiny negative rounding eigenvalues, reference
+    my_sqrtm_cusolver.hpp:345-360).  `breakdown_eps > 0` switches the
+    inverse to a rank-revealing pseudo-inverse — eigenvalues below
+    eps * max(lambda) contribute zero, which is the graceful handling of
+    Lanczos breakdown the reference lacks (it divides by ~0).
+    """
+    w, v = eigh(a, backend=backend, sweeps=sweeps)
+    wab = jnp.abs(w)
+    s = jnp.sqrt(wab)
+    if breakdown_eps > 0.0:
+        wmax = jnp.max(wab, axis=-1, keepdims=True)
+        good = wab > breakdown_eps * wmax
+        s_inv = jnp.where(good, 1.0 / jnp.where(good, s, 1.0), 0.0)
+    else:
+        s_inv = 1.0 / s
+    sq = jnp.einsum(
+        "...ik,...k,...jk->...ij", v, s, v, preferred_element_type=a.dtype
+    )
+    sq_inv = jnp.einsum(
+        "...ik,...k,...jk->...ij", v, s_inv, v, preferred_element_type=a.dtype
+    )
+    return sq, sq_inv
+
+
+def expm_sym(t: jax.Array, backend: str = "lax", sweeps: int = 16):
+    """expm of a symmetric matrix via eigendecomposition, U exp(L) U^T —
+    the reference's `expm_cusolver` (lib_utils.hpp:542: syevd +
+    `custom_mult`)."""
+    w, v = eigh(t, backend=backend, sweeps=sweeps)
+    return jnp.einsum(
+        "...ik,...k,...jk->...ij", v, jnp.exp(w), v,
+        preferred_element_type=t.dtype,
+    )
