@@ -1,0 +1,195 @@
+"""Block Lanczos: recurrence parity, Ritz accuracy (incl. degenerate
+eigenvalues — the capability single-vector Lanczos lacks), block expm
+action vs the exact dense oracle, and breakdown handling.
+
+Mirrors the reference block path (`methods/block_lanczos.hpp:13-80`,
+`test_lanczos.cu:131-305`) with the stronger oracles SURVEY.md §4 calls for.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanczos_tpu.methods.block_lanczos import block_lanczos
+from lanczos_tpu.methods.eigs import block_lanczos_eigsh
+from lanczos_tpu.methods.expm_action import block_lanczos_expm_action
+from lanczos_tpu.methods.fdtd import fdtd_block
+from lanczos_tpu.models.laplacian import laplacian_2d_scipy
+from lanczos_tpu.models.maxwell import MaxwellOperator, assemble_maxwell_A
+from lanczos_tpu.models.rhs import gaussian_matrix_B
+from lanczos_tpu.ops import csr_from_scipy
+from lanczos_tpu.ops.operator import MatrixOperator
+from lanczos_tpu.ops.tridiag import assemble_block_tridiagonal
+
+
+def _sqrtm_inv_np(g):
+    w, v = np.linalg.eigh(g)
+    s = np.sqrt(np.abs(w))
+    return (v * s) @ v.T, (v / s) @ v.T
+
+
+def _numpy_block_lanczos(a, b, m):
+    """NumPy transcription of the recurrence (block_lanczos.hpp:13-80)."""
+    n, p = b.shape
+    alphas = np.zeros((m, p, p))
+    betas = np.zeros((m, p, p))
+    betas[0], inv0 = _sqrtm_inv_np(b.T @ b)
+    q0 = b @ inv0
+    w = a @ q0
+    alphas[0] = 0.5 * ((w.T @ q0) + (w.T @ q0).T)
+    w = w - q0 @ alphas[0]
+    for j in range(1, m):
+        betas[j], inv = _sqrtm_inv_np(w.T @ w)
+        q1 = w @ inv
+        w = a @ q1 - q0 @ betas[j]
+        g = w.T @ q1
+        alphas[j] = 0.5 * (g + g.T)
+        w = w - q1 @ alphas[j]
+        q0 = q1
+    return alphas, betas
+
+
+def test_recurrence_matches_numpy(rng):
+    a = laplacian_2d_scipy(8)
+    n = a.shape[0]
+    p, m = 4, 6
+    b = rng.standard_normal((n, p))
+    res = block_lanczos(
+        MatrixOperator(jnp.asarray(a.toarray())),
+        jnp.asarray(b),
+        m,
+        eig_backend="lax",
+    )
+    al, be = _numpy_block_lanczos(a.toarray(), b, m)
+    np.testing.assert_allclose(np.asarray(res.alphas), al, rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.betas), be, rtol=1e-9, atol=1e-10)
+
+
+def test_jacobi_backend_matches_lax(rng):
+    a = laplacian_2d_scipy(8)
+    n = a.shape[0]
+    p, m = 4, 6
+    b = rng.standard_normal((n, p))
+    op = MatrixOperator(jnp.asarray(a.toarray()))
+    r1 = block_lanczos(op, jnp.asarray(b), m, eig_backend="lax")
+    r2 = block_lanczos(op, jnp.asarray(b), m, eig_backend="jacobi", eig_sweeps=12)
+    np.testing.assert_allclose(
+        np.asarray(r1.alphas), np.asarray(r2.alphas), rtol=1e-8, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(r1.betas), np.asarray(r2.betas), rtol=1e-8, atol=1e-9
+    )
+
+
+def test_basis_block_orthonormal(rng):
+    n, p, m = 200, 4, 12
+    d = np.geomspace(1, 1e5, n)
+    a = MatrixOperator(jnp.asarray(np.diag(d)))
+    b = jnp.asarray(rng.standard_normal((n, p)))
+    res = block_lanczos(a, b, m, reorth="full", store_basis=True)
+    q = np.asarray(res.basis).transpose(0, 2, 1).reshape(m * p, n)  # (mp, n)
+    gram = q @ q.T
+    assert np.abs(gram - np.eye(m * p)).max() < 1e-8
+
+
+def test_trace_records_receiver(rng):
+    a = laplacian_2d_scipy(6)
+    b = rng.standard_normal((a.shape[0], 3))
+    m, lc = 5, 11
+    res = block_lanczos(
+        MatrixOperator(jnp.asarray(a.toarray())), jnp.asarray(b), m, lc,
+        store_basis=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.trace), np.asarray(res.basis)[:, lc, :], atol=1e-14
+    )
+
+
+def test_ritz_values_degenerate_spectrum(rng):
+    """Square 2-D Laplacian has doubly-degenerate eigenvalues; block width
+    p=4 resolves the multiplicity that single-vector Lanczos cannot."""
+    from scipy.sparse.linalg import eigsh
+
+    a_sp = laplacian_2d_scipy(16)  # square grid -> degenerate pairs
+    n = a_sp.shape[0]
+    b = rng.standard_normal((n, 4))
+    a = csr_from_scipy(a_sp, dtype=jnp.float64)
+    vals, vecs, resid = block_lanczos_eigsh(
+        a, jnp.asarray(b), m=40, k=6, which="LA", reorth="full",
+        compute_vectors=True, eig_backend="lax",
+    )
+    want = np.sort(eigsh(a_sp, k=6, which="LA", return_eigenvectors=False))[::-1]
+    np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-9)
+    v = np.asarray(vecs)
+    for i in range(6):
+        r = a_sp @ v[:, i] - np.asarray(vals)[i] * v[:, i]
+        assert np.linalg.norm(r) < 1e-7
+
+
+def test_block_tridiagonal_projection_identity(rng):
+    """T = Q^T A Q for the block-orthonormal basis (full reorth)."""
+    a_sp = laplacian_2d_scipy(10)
+    n = a_sp.shape[0]
+    p, m = 3, 8
+    b = rng.standard_normal((n, p))
+    res = block_lanczos(
+        MatrixOperator(jnp.asarray(a_sp.toarray())), jnp.asarray(b), m,
+        reorth="full", store_basis=True, eig_backend="lax",
+    )
+    q = np.asarray(res.basis).transpose(0, 2, 1).reshape(m * p, n)
+    t = np.asarray(
+        assemble_block_tridiagonal(res.alphas, res.betas[1:])
+    )
+    proj = q @ a_sp.toarray() @ q.T
+    # tridiagonal part matches; far blocks are ~0 by orthogonality
+    np.testing.assert_allclose(proj, t, atol=1e-7)
+
+
+def test_block_expm_action_convergence(rng):
+    """Block analogue of the reference's physics oracle
+    (test_lanczos.cu:294-301), validated against exact dense expm."""
+    from scipy.linalg import expm as scipy_expm
+
+    op = MaxwellOperator.create(3, 3, 3, dtype=jnp.float64)
+    p = 4
+    b = np.asarray(gaussian_matrix_B(3, op.n, p))
+    lc = 20
+    a_dense = assemble_maxwell_A(3, 3, 3).toarray()
+    exact = (scipy_expm(a_dense) @ b)[lc]
+
+    errs = {}
+    for m in (1, 2, 4, 6):
+        sol = np.asarray(
+            block_lanczos_expm_action(op, jnp.asarray(b), m, 1.0, lc,
+                                      eig_backend="lax")
+        )
+        errs[m] = np.linalg.norm(sol - exact) / np.linalg.norm(exact)
+    assert errs[1] > errs[2] > errs[4]
+    assert errs[4] < 1e-6
+    assert errs[6] < 1e-9
+
+
+def test_fdtd_block_vs_dense_expm(rng):
+    from scipy.linalg import expm as scipy_expm
+
+    op = MaxwellOperator.create(2, 2, 2, dtype=jnp.float64)
+    b = np.asarray(gaussian_matrix_B(2, op.n, 3))
+    a_dense = assemble_maxwell_A(2, 2, 2).toarray()
+    exact = scipy_expm(a_dense) @ b
+    u = np.asarray(fdtd_block(op, jnp.asarray(b), 40_000, 1.0))
+    assert np.linalg.norm(u - exact) / np.linalg.norm(exact) < 1e-3
+
+
+def test_breakdown_rank_deficient_start(rng):
+    """B with two identical columns: Gram B^T B is singular.  The
+    pseudo-inverse path must stay finite (the reference divides by ~0)."""
+    n, p, m = 64, 4, 5
+    d = np.linspace(1, 10, n)
+    a = MatrixOperator(jnp.asarray(np.diag(d)))
+    b = rng.standard_normal((n, p))
+    b[:, 3] = b[:, 2]
+    res = block_lanczos(
+        a, jnp.asarray(b), m, eig_backend="lax", breakdown_eps=1e-10
+    )
+    assert np.all(np.isfinite(np.asarray(res.alphas)))
+    assert np.all(np.isfinite(np.asarray(res.betas)))
