@@ -208,32 +208,45 @@ class MaxwellOperator(LinearOperator):
         return parts
 
     def _apply(self, u):
+        """Each input component is padded ONCE (all three spatial axes by
+        one); every tap is then a static slice of that padded array, and
+        each output component is a single fused 4-term multiply-add.
+
+        TPU performance notes (measured on v5e):
+          * the separable weights multiply the FULL-SIZE tap one axis at a
+            time — forming the 3-D coefficient `wz*wy*wx` first creates
+            lane-dim-1 broadcast intermediates that Mosaic handles ~100x
+            slower than a fused chain of full-size x small multiplies;
+          * callers must pass the operator as a jit ARGUMENT (all library
+            methods do): closing over it turns the tap arrays into
+            embedded constants, which this backend re-uploads per call.
+        """
         xs = self._split(u)
         extra = u.shape[1:]
-        ys = [jnp.zeros(s + extra, u.dtype) for s in self.comp_shapes]
         nd_extra = len(extra)
+        pad_width = [(1, 1)] * 3 + [(0, 0)] * nd_extra
+        xpads: dict[int, jnp.ndarray] = {}
+        contribs: list[list] = [[] for _ in range(6)]
+        bshape = [
+            (-1, 1, 1) + (1,) * nd_extra,
+            (1, -1, 1) + (1,) * nd_extra,
+            (1, 1, -1) + (1,) * nd_extra,
+        ]
         for (out_c, in_c, ax, off), (wz, wy, wx) in zip(self.descs, self.tap_arrays):
-            x = xs[in_c]
-            # shifted read along `ax`: pad that axis by 1 on both sides then
-            # take a static slice of the output length starting at 1 + off.
-            out_len = self.comp_shapes[out_c][ax]
-            pad = [(0, 0)] * (3 + nd_extra)
-            pad[ax] = (1, 1)
-            xp = jnp.pad(x, pad)
-            sl = [slice(None)] * (3 + nd_extra)
-            sl[ax] = slice(1 + off, 1 + off + out_len)
-            shifted = xp[tuple(sl)]
-            bshape = [
-                (-1, 1, 1) + (1,) * nd_extra,
-                (1, -1, 1) + (1,) * nd_extra,
-                (1, 1, -1) + (1,) * nd_extra,
-            ]
-            coeff = (
-                wz.reshape(bshape[0])
-                * wy.reshape(bshape[1])
-                * wx.reshape(bshape[2])
-            )
-            ys[out_c] = ys[out_c] + coeff * shifted
+            if in_c not in xpads:
+                xpads[in_c] = jnp.pad(xs[in_c], pad_width)
+            out_shape = self.comp_shapes[out_c]
+            start = [1, 1, 1]
+            start[ax] += off
+            sl = tuple(
+                slice(start[a], start[a] + out_shape[a]) for a in range(3)
+            ) + (slice(None),) * nd_extra
+            v = xpads[in_c][sl]
+            v = v * wz.reshape(bshape[0])
+            v = v * wy.reshape(bshape[1])
+            v = v * wx.reshape(bshape[2])
+            contribs[out_c].append(v)
+        ys = [c[0] + c[1] + c[2] + c[3] for c in contribs]
         return jnp.concatenate(
             [y.reshape((-1,) + extra) for y in ys], axis=0
         )
