@@ -8,15 +8,22 @@ Same recurrence as the reference (`methods/block_lanczos.hpp:13-80`):
     W = A Q_1 - Q_0 beta_j
     alpha_j = 0.5 (W^T Q_1 + Q_1^T W);  W -= Q_1 alpha_j
 
+BLOCK-MAJOR convention: B has shape (p, *state_shape) — the block axis
+leads (TPU batch layout; minor state dims keep their (8,128) tiling),
+unlike the reference's column-major tall (n, p) matrices.  The state may
+be a flat (n,) vector or any richer operator state (e.g. the Pallas
+Maxwell stacked-field layout).
+
 All dense block math (Gram products `mm_tt`/`mm_tt2`, tall x small updates
 `mm_ts` — reference `kernels/mm_tt.hpp`, `mm_tt2.hpp`, `mm_ts.hpp`) is
-expressed as `dot_general` on the MXU; the per-iteration sqrtm/inv-sqrtm
-uses the in-graph Jacobi eigensolver (`ops/smalleig.py`) instead of the
-warp-level kernel (`kernels/my_sqrtm_cusolver.hpp`) or syevjBatched.
+expressed as einsum/`dot_general` on the MXU; the per-iteration
+sqrtm/inv-sqrtm uses the in-graph Jacobi eigensolver (`ops/smalleig.py`)
+instead of the warp-level kernel (`kernels/my_sqrtm_cusolver.hpp`) or
+syevjBatched.
 
-Beyond the reference: full/selective(periodic) block re-orthogonalization
-against the stored basis, and rank-revealing pseudo-inverse handling of
-block breakdown.
+Beyond the reference: full/periodic block re-orthogonalization against
+the stored basis, and rank-revealing pseudo-inverse handling of block
+breakdown.
 """
 
 from __future__ import annotations
@@ -35,8 +42,8 @@ from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
 @dataclasses.dataclass
 class BlockLanczosResult:
     """alphas: (m, p, p); betas: (m, p, p) with betas[0] = sqrtm(B^T B) and
-    betas[1:] the subdiagonal blocks; trace: (m, p) row lc of each block;
-    basis: (m, n, p) if requested."""
+    betas[1:] the subdiagonal blocks; trace: (m, p) receiver value of each
+    block column; basis: (m, p, *state) if requested."""
 
     alphas: jax.Array
     betas: jax.Array
@@ -49,10 +56,15 @@ def _sym(g):
 
 
 def _gram(x, y):
-    """x^T y on the MXU (reference mm_tt / mm_tt2 kernels)."""
-    return jax.lax.dot_general(
-        x, y, (((0,), (0,)), ((), ())), preferred_element_type=x.dtype
-    )
+    """x^T y over the state axes -> (p, q) on the MXU (reference mm_tt /
+    mm_tt2 kernels); x: (p, *state), y: (q, *state)."""
+    return jnp.einsum("p...,q...->pq", x, y, preferred_element_type=x.dtype)
+
+
+def _mix(s, x):
+    """Columns-combination x <- s^T-applied block: out[j] = sum_k s[k,j] x[k]
+    (the reference's tall x small mm_ts, block-major)."""
+    return jnp.einsum("kj,k...->j...", s, x, preferred_element_type=x.dtype)
 
 
 @partial(
@@ -64,6 +76,7 @@ def _gram(x, y):
         "eig_backend",
         "eig_sweeps",
         "breakdown_eps",
+        "trace_fn",
     ),
 )
 def block_lanczos(
@@ -77,16 +90,25 @@ def block_lanczos(
     eig_backend: str = "jacobi",
     eig_sweeps: int = 10,
     breakdown_eps: float = 0.0,
+    trace_fn=None,
 ) -> BlockLanczosResult:
+    """b: (p, *state_shape), block-major.  `trace_fn(q) -> (p,)` overrides
+    the default receiver extraction (flat index lc per block column)."""
     if reorth not in ("none", "full", "periodic"):
         raise ValueError(f"unknown reorth mode {reorth!r}")
     need_basis = store_basis or reorth in ("full", "periodic")
-    n, p = b.shape
+    p = b.shape[0]
     dtype = b.dtype
     lc_idx = jnp.asarray(0 if lc is None else lc, jnp.int32)
 
-    def trace_at(q):
-        return jax.lax.dynamic_index_in_dim(q, lc_idx, axis=0, keepdims=False)
+    if trace_fn is None:
+        def trace_at(q):
+            qf = q.reshape(p, -1)
+            return jax.lax.dynamic_index_in_dim(
+                qf, lc_idx, axis=1, keepdims=False
+            )
+    else:
+        trace_at = trace_fn
 
     def sqrtm_inv(g):
         return sqrtm_invsqrtm(
@@ -96,26 +118,26 @@ def block_lanczos(
     # -- first half-iteration -------------------------------------------------
     gram0 = _gram(b, b)
     beta0, inv0 = sqrtm_inv(gram0)
-    q0 = b @ inv0  # reference mm_ts (block_lanczos.hpp:34)
+    q0 = _mix(inv0, b)  # reference mm_ts (block_lanczos.hpp:34)
     w = a.mm(q0)
     alpha0 = _sym(_gram(w, q0))
-    w = w - q0 @ alpha0
+    w = w - _mix(alpha0, q0)
 
     karr = jnp.arange(m)
     if need_basis:
-        basis0 = jnp.zeros((m, n, p), dtype).at[0].set(q0)
+        basis0 = jnp.zeros((m,) + b.shape, dtype).at[0].set(q0)
     else:
-        basis0 = jnp.zeros((1, 1, 1), dtype)
+        basis0 = jnp.zeros((1,) + b.shape, dtype)
 
     def block_cgs2(wv, basis, valid_mask):
         # W -= Q_k (Q_k^T W) over all valid blocks, twice (CGS2).
         for _ in range(2):
             coeffs = jnp.einsum(
-                "knp,nq->kpq", basis, wv, preferred_element_type=dtype
+                "ki...,j...->kij", basis, wv, preferred_element_type=dtype
             )
             coeffs = coeffs * valid_mask[:, None, None]
             wv = wv - jnp.einsum(
-                "knp,kpq->nq", basis, coeffs, preferred_element_type=dtype
+                "kij,ki...->j...", coeffs, basis, preferred_element_type=dtype
             )
         return wv
 
@@ -123,10 +145,10 @@ def block_lanczos(
         q_prev, wv, basis = carry
         gram = _gram(wv, wv)
         beta, inv = sqrtm_inv(gram)
-        q = wv @ inv
-        wn = a.mm(q) - q_prev @ beta
+        q = _mix(inv, wv)
+        wn = a.mm(q) - _mix(beta, q_prev)
         alpha = _sym(_gram(wn, q))
-        wn = wn - q @ alpha
+        wn = wn - _mix(alpha, q)
 
         if need_basis:
             basis = jax.lax.dynamic_update_index_in_dim(basis, q, j, 0)

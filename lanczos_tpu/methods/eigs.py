@@ -86,13 +86,13 @@ def block_lanczos_eigsh(
     compute_vectors: bool = False,
     eig_backend: str = "jacobi",
 ):
-    """Top-k Ritz pairs from an m-step block-Lanczos run (block width p =
-    b.shape[1]).  Returns (values (k,), vectors (n, k) or None, residuals)."""
+    """Top-k Ritz pairs from an m-step block-Lanczos run.  b is BLOCK-MAJOR
+    (p, n).  Returns (values (k,), vectors (n, k) or None, residuals)."""
     res = block_lanczos(
         a, b, m, reorth=reorth, store_basis=compute_vectors,
         eig_backend=eig_backend,
     )
-    p = b.shape[1]
+    p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])
     w, s = jnp.linalg.eigh(t)
     idx = _select(w, k, which)
@@ -102,8 +102,8 @@ def block_lanczos_eigsh(
     resid = jnp.linalg.norm(res.betas[-1] @ tail[:, idx], axis=0)
     vecs = None
     if compute_vectors:
-        # basis: (m, n, p); T ordering is j*p + c
-        basis_flat = jnp.transpose(res.basis, (0, 2, 1)).reshape(m * p, -1)
+        # basis: (m, p, n) block-major; T ordering is j*p + c
+        basis_flat = res.basis.reshape(m * p, -1)
         vecs = jnp.einsum(
             "tn,tk->nk", basis_flat, s[:, idx], preferred_element_type=b.dtype
         )

@@ -55,9 +55,10 @@ def block_lanczos_expm_action(
     reorth: str = "none",
     eig_backend: str = "jacobi",
 ):
-    """Row lc (length p) of expm(t_end*A) B via m-step block Lanczos."""
+    """Row lc (length p) of expm(t_end*A) B via m-step block Lanczos.
+    B is BLOCK-MAJOR (p, n)."""
     res = block_lanczos(a, b, m, lc, reorth=reorth, eig_backend=eig_backend)
-    p = b.shape[1]
+    p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])
     e = expm_sym(t_end * t, backend="lax")
     f1 = e[:, :p] @ res.betas[0]  # expm(T) E_1 sqrtm(B^T B)

@@ -32,7 +32,8 @@ def fdtd_vector(
 def fdtd_block(
     a: LinearOperator, u0: jax.Array, nsteps: int, t_end: float
 ) -> jax.Array:
-    """Block version (reference `ftdt_block`, fdtd.hpp:34): U += dt * A U."""
+    """Block version (reference `ftdt_block`, fdtd.hpp:34): U += dt * A U.
+    U is BLOCK-MAJOR (p, n)."""
     dt = jnp.asarray(t_end / nsteps, u0.dtype)
 
     def step(_, u):

@@ -46,18 +46,23 @@ class VectorLanczosResult:
     breakdown: jax.Array
 
 
+def _norm(x):
+    return jnp.sqrt(jnp.sum(x * x))
+
+
 def _cgs2(wv, basis, valid_mask):
     """Twice-iterated classical Gram-Schmidt: w -= Q (Q^T w), masked to the
-    currently valid basis rows.  Two MXU-shaped products per pass."""
+    currently valid basis rows.  Two MXU-shaped products per pass; works
+    for any state shape (basis is (m, *state))."""
     for _ in range(2):
-        coeffs = basis @ wv
-        wv = wv - (valid_mask * coeffs) @ basis
+        coeffs = jnp.einsum("k...,...->k", basis, wv)
+        wv = wv - jnp.einsum("k,k...->...", valid_mask * coeffs, basis)
     return wv
 
 
 @partial(
     jax.jit,
-    static_argnames=("m", "reorth", "store_basis", "breakdown_tol"),
+    static_argnames=("m", "reorth", "store_basis", "breakdown_tol", "trace_fn"),
 )
 def vector_lanczos(
     a: LinearOperator,
@@ -68,20 +73,29 @@ def vector_lanczos(
     reorth: str = "none",
     store_basis: bool = False,
     breakdown_tol: float = 0.0,
+    trace_fn=None,
 ) -> VectorLanczosResult:
+    """b may have ANY state shape the operator accepts (a flat (n,) vector
+    for matrix formats; e.g. the stacked-field layout for the Pallas
+    Maxwell operator).  `trace_fn(q) -> scalar` overrides the default
+    receiver extraction (flat index lc) for non-flat states."""
     if reorth not in ("none", "full", "selective"):
         raise ValueError(f"unknown reorth mode {reorth!r}")
     need_basis = store_basis or reorth in ("full", "selective")
-    n = b.shape[0]
+    n = b.size
     dtype = b.dtype
     eps = jnp.finfo(dtype).eps
     sqrt_eps = jnp.sqrt(eps)
     lc_idx = jnp.asarray(0 if lc is None else lc, jnp.int32)
 
-    def trace_at(q):
-        return jax.lax.dynamic_index_in_dim(q, lc_idx, keepdims=False)
+    if trace_fn is None:
+        def trace_at(q):
+            qf = q.reshape(-1) if q.ndim > 1 else q
+            return jax.lax.dynamic_index_in_dim(qf, lc_idx, keepdims=False)
+    else:
+        trace_at = trace_fn
 
-    beta0 = jnp.linalg.norm(b)
+    beta0 = _norm(b)
     q0 = b / beta0
     w = a.mv(q0)
     alpha0 = jnp.sum(w * q0)
@@ -89,9 +103,9 @@ def vector_lanczos(
 
     karr = jnp.arange(m)
     if need_basis:
-        basis0 = jnp.zeros((m, n), dtype).at[0].set(q0)
+        basis0 = jnp.zeros((m,) + b.shape, dtype).at[0].set(q0)
     else:
-        basis0 = jnp.zeros((1, 1), dtype)  # placeholder, never read
+        basis0 = jnp.zeros((1,) + b.shape, dtype)  # placeholder, never read
 
     # histories indexed by k: alph_hist[k] = alpha_k, beta_hist[k] = beta_k
     # (beta_0 := ||b||); omega = omega_{j-1,.}, omega_prev = omega_{j-2,.}
@@ -110,9 +124,7 @@ def vector_lanczos(
             #     - beta_{j-1} w_{j-2,k},
             # with beta_0 := 0 here (no q_{-1}) and a rounding-noise floor
             # so the estimate can seed and grow.
-            beta_tent = jnp.maximum(
-                jnp.linalg.norm(wv), jnp.finfo(dtype).tiny
-            )
+            beta_tent = jnp.maximum(_norm(wv), jnp.finfo(dtype).tiny)
             bh = beta_hist.at[0].set(0.0)
             b_kp1 = jnp.roll(bh, -1)
             om_kp1 = jnp.roll(om, -1)
@@ -143,7 +155,7 @@ def vector_lanczos(
             force = trigger & jnp.logical_not(force)
             om_prev, om = om, om_new
 
-        beta = jnp.linalg.norm(wv)
+        beta = _norm(wv)
         is_dead = dead | (beta <= breakdown_tol * beta0)
         beta_safe = jnp.where(is_dead, jnp.asarray(1.0, dtype), beta)
         q = jnp.where(is_dead, jnp.zeros_like(wv), wv / beta_safe)

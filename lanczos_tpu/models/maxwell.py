@@ -255,7 +255,9 @@ class MaxwellOperator(LinearOperator):
         return self._apply(x)
 
     def mm(self, X):
-        return self._apply(X)
+        # Block-major (p, n): leading batch vmap keeps the spatial minor
+        # dims' tiling intact per column.
+        return jax.vmap(self._apply)(X)
 
     # -- pytree -------------------------------------------------------------
 

@@ -37,13 +37,19 @@ def random_vector_b(n_rows: int, seed: int = 0, dtype=np.float64) -> np.ndarray:
 
 
 def gaussian_matrix_B(n: int, n_rows: int, n_col: int, dtype=np.float64) -> np.ndarray:
-    """n_col shifted Gaussians (shift = 0.1*(i+1)), build_ell_utils.hpp:252."""
+    """n_col shifted Gaussians (shift = 0.1*(i+1)), build_ell_utils.hpp:252.
+
+    Block-major (n_col, n_rows): the TPU-native block convention puts the
+    block axis first (leading batch dim), unlike the reference's
+    column-major tall matrices.
+    """
     return np.stack(
         [_gaussian_grid(n, 0.1 * (i + 1), n_rows, dtype) for i in range(n_col)],
-        axis=1,
+        axis=0,
     )
 
 
 def random_matrix_B(n_rows: int, n_col: int, seed: int = 0, dtype=np.float64) -> np.ndarray:
+    """Block-major (n_col, n_rows); values in [1, 2)."""
     rng = np.random.default_rng(seed)
-    return (rng.random((n_rows, n_col)) + 1.0).astype(dtype)
+    return (rng.random((n_col, n_rows)) + 1.0).astype(dtype)

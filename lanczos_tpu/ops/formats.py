@@ -88,13 +88,14 @@ class EllMatrix(LinearOperator):
         return y[: self.n_rows_true]
 
     def mm(self, X: jax.Array) -> jax.Array:
-        """Fused SpMM (reference `ell::SpMM`, `spmv_spmm.hpp:138`)."""
-        gathered = jnp.take(X, self.indices, axis=0)  # (rows_pad, width, p)
+        """Fused SpMM, block-major X (p, n) (reference `ell::SpMM`,
+        `spmv_spmm.hpp:138`)."""
+        gathered = jnp.take(X, self.indices, axis=1)  # (p, rows_pad, width)
         y = jnp.einsum(
-            "rw,rwp->rp", self.data, gathered,
+            "rw,prw->pr", self.data, gathered,
             preferred_element_type=self.data.dtype,
         )
-        return y[: self.n_rows_true]
+        return y[:, : self.n_rows_true]
 
     def to_dense(self) -> jax.Array:
         n, m = self.shape
@@ -163,8 +164,12 @@ class CooMatrix(LinearOperator):
         return jax.ops.segment_sum(prod, self.rows, num_segments=self.n_rows_true)
 
     def mm(self, X: jax.Array) -> jax.Array:
-        prod = self.data[:, None] * jnp.take(X, self.cols, axis=0)
-        return jax.ops.segment_sum(prod, self.rows, num_segments=self.n_rows_true)
+        # X block-major (p, n)
+        prod = self.data[None, :] * jnp.take(X, self.cols, axis=1)  # (p, nnz)
+        y = jax.ops.segment_sum(
+            prod.T, self.rows, num_segments=self.n_rows_true
+        )  # (n, p)
+        return y.T
 
     def tree_flatten(self):
         return (self.rows, self.cols, self.data), (self.n_rows_true, self.n_cols_true)
@@ -228,8 +233,12 @@ class CsrMatrix(LinearOperator):
         return jax.ops.segment_sum(prod, self.row_ids, num_segments=self.n_rows_true)
 
     def mm(self, X: jax.Array) -> jax.Array:
-        prod = self.data[:, None] * jnp.take(X, self.indices, axis=0)
-        return jax.ops.segment_sum(prod, self.row_ids, num_segments=self.n_rows_true)
+        # X block-major (p, n)
+        prod = self.data[None, :] * jnp.take(X, self.indices, axis=1)
+        y = jax.ops.segment_sum(
+            prod.T, self.row_ids, num_segments=self.n_rows_true
+        )
+        return y.T
 
     def tree_flatten(self):
         return (
@@ -309,18 +318,19 @@ class BsrMatrix(LinearOperator):
         return jnp.reshape(yb, (-1,))[: self.n_rows_true]
 
     def mm(self, X: jax.Array) -> jax.Array:
+        # X block-major (p, n)
         bs = self.block_size
         nbr = -(-self.n_rows_true // bs)
-        p = X.shape[1]
+        p = X.shape[0]
         Xb = jnp.reshape(
-            jnp.pad(X, ((0, (-X.shape[0]) % bs), (0, 0))), (-1, bs, p)
+            jnp.pad(X, ((0, 0), (0, (-X.shape[1]) % bs))), (p, -1, bs)
         )
-        gathered = jnp.take(Xb, self.block_cols, axis=0)  # (nblk, bs, p)
+        gathered = jnp.take(Xb, self.block_cols, axis=1)  # (p, nblk, bs)
         prods = jnp.einsum(
-            "bij,bjp->bip", self.data, gathered, preferred_element_type=self.dtype
-        )
+            "bij,pbj->bip", self.data, gathered, preferred_element_type=self.dtype
+        )  # (nblk, bs, p)
         Yb = jax.ops.segment_sum(prods, self.block_rows, num_segments=nbr)
-        return jnp.reshape(Yb, (-1, p))[: self.n_rows_true]
+        return jnp.transpose(jnp.reshape(Yb, (-1, p)))[:, : self.n_rows_true]
 
     def tree_flatten(self):
         return (
@@ -405,17 +415,18 @@ class DiaMatrix(LinearOperator):
         return y[: self.n_rows_true]
 
     def mm(self, X: jax.Array) -> jax.Array:
+        # X block-major (p, n)
         h = self._halo()
         npad = self.data.shape[1]
-        p = X.shape[1]
-        Xp = jnp.zeros((npad + 2 * h, p), X.dtype)
-        Xp = Xp.at[h : h + X.shape[0]].set(X)
-        Y = jnp.zeros((npad, p), X.dtype)
+        p = X.shape[0]
+        Xp = jnp.zeros((p, npad + 2 * h), X.dtype)
+        Xp = Xp.at[:, h : h + X.shape[1]].set(X)
+        Y = jnp.zeros((p, npad), X.dtype)
         for d, off in enumerate(self.offsets):
-            Y = Y + self.data[d][:, None] * jax.lax.dynamic_slice(
-                Xp, (h + off, 0), (npad, p)
+            Y = Y + self.data[d][None, :] * jax.lax.dynamic_slice(
+                Xp, (0, h + off), (p, npad)
             )
-        return Y[: self.n_rows_true]
+        return Y[:, : self.n_rows_true]
 
     def tree_flatten(self):
         return (self.data,), (self.offsets, self.n_rows_true, self.n_cols_true)

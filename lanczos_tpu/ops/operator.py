@@ -36,15 +36,20 @@ class LinearOperator(abc.ABC):
 
     @abc.abstractmethod
     def mv(self, x: jax.Array) -> jax.Array:
-        """Matrix-vector product, x: (n,) -> (n,)."""
+        """Matrix-vector product on a state (an (n,) vector for matrix
+        formats; operators may use richer state shapes, e.g. the Maxwell
+        stencil's stacked field layout)."""
 
     def mm(self, X: jax.Array) -> jax.Array:
-        """Matrix-(tall dense)matrix product, X: (n, p) -> (n, p).
+        """Block product, BLOCK-MAJOR: X: (p, *state_shape) -> same.
 
-        Default: vmap of mv over columns; formats override with a fused
-        SpMM (the reference's hottest kernel, `spmv_spmm.hpp:138`).
+        The block axis leads (TPU batch convention — minor dims keep their
+        (8,128) tiling), unlike the reference's column-major tall
+        matrices (`dense_matrix.hpp:11`).  Default: vmap of mv over the
+        leading axis; formats override with a fused SpMM (the reference's
+        hottest kernel, `spmv_spmm.hpp:138`).
         """
-        return jax.vmap(self.mv, in_axes=1, out_axes=1)(X)
+        return jax.vmap(self.mv)(X)
 
     @property
     def n_rows(self) -> int:
@@ -75,7 +80,8 @@ class MatrixOperator(LinearOperator):
         return self.a @ x
 
     def mm(self, X):
-        return self.a @ X
+        # X block-major (p, n): (A X^T)^T = X A^T
+        return X @ self.a.T
 
     def tree_flatten(self):
         return (self.a,), None

@@ -84,13 +84,15 @@ def _halo_exchange(x, axis, halo):
 
 def _halo_mv_local(data, idx, x, axis, halo):
     """Per-shard body: halo exchange, then ELL-gather from the extended
-    window.  x: (rows_loc,) or (rows_loc, p)."""
-    x_ext = _halo_exchange(x, axis, halo)
-    gathered = jnp.take(x_ext, idx, axis=0)  # (rows_loc, w[, p])
+    window.  x: (rows_loc,) or block-major (p, rows_loc)."""
     if x.ndim == 1:
+        x_ext = _halo_exchange(x, axis, halo)
+        gathered = jnp.take(x_ext, idx, axis=0)  # (rows_loc, w)
         return jnp.sum(data * gathered, axis=1)
+    x_ext = _halo_exchange(jnp.swapaxes(x, 0, 1), axis, halo)  # (ext, p)
+    gathered = jnp.take(x_ext, idx, axis=0)  # (rows_loc, w, p)
     return jnp.einsum(
-        "rw,rwp->rp", data, gathered, preferred_element_type=data.dtype
+        "rw,rwp->pr", data, gathered, preferred_element_type=data.dtype
     )
 
 
@@ -133,7 +135,7 @@ class HaloShardedEll(LinearOperator):
         return int(np.prod(self.data.shape))
 
     def _mapped(self, ndim):
-        spec = P(self.axis) if ndim == 1 else P(self.axis, None)
+        spec = P(self.axis) if ndim == 1 else P(None, self.axis)
         return _shard_map(
             functools.partial(_halo_mv_local, axis=self.axis, halo=self.halo),
             self.mesh,
@@ -150,20 +152,24 @@ class HaloShardedEll(LinearOperator):
     # -- helpers ------------------------------------------------------------
 
     def pad_vector(self, b) -> jax.Array:
-        """Permute (if reordered), zero-pad to n_padded, and shard."""
+        """Permute (if reordered), zero-pad to n_padded, and shard.
+        b: (n,) or block-major (p, n)."""
         b = jnp.asarray(b, self.dtype)
+        row_ax = b.ndim - 1
         if self.perm is not None:
-            b = b[jnp.asarray(self.perm, jnp.int32)]
-        pad = [(0, self.n_padded - b.shape[0])] + [(0, 0)] * (b.ndim - 1)
-        spec = P(self.axis) if b.ndim == 1 else P(self.axis, None)
+            b = jnp.take(b, jnp.asarray(self.perm, jnp.int32), axis=row_ax)
+        pad = [(0, 0)] * b.ndim
+        pad[row_ax] = (0, self.n_padded - b.shape[row_ax])
+        spec = P(self.axis) if b.ndim == 1 else P(None, self.axis)
         return jax.device_put(jnp.pad(b, pad), NamedSharding(self.mesh, spec))
 
     def unpad_vector(self, y) -> jax.Array:
         """Inverse of pad_vector: back to natural ordering and true length."""
-        y = y[: self.n_rows_true]
+        row_ax = y.ndim - 1
+        y = jax.lax.slice_in_dim(y, 0, self.n_rows_true, axis=row_ax)
         if self.perm is not None:
             inv = np.argsort(np.asarray(self.perm))
-            y = y[jnp.asarray(inv, jnp.int32)]
+            y = jnp.take(y, jnp.asarray(inv, jnp.int32), axis=row_ax)
         return y
 
     def local_index(self, i: int) -> int:
@@ -275,12 +281,15 @@ def halo_sharded_ell(
 
 
 def _gather_mv_local(data, idx, x, axis):
-    x_full = jax.lax.all_gather(x, axis, tiled=True)  # (n_pad[, p])
-    gathered = jnp.take(x_full, idx, axis=0)
     if x.ndim == 1:
+        x_full = jax.lax.all_gather(x, axis, tiled=True)  # (n_pad,)
+        gathered = jnp.take(x_full, idx, axis=0)
         return jnp.sum(data * gathered, axis=1)
+    # block-major (p, rows_loc): gather columns
+    x_full = jax.lax.all_gather(x, axis, axis=1, tiled=True)  # (p, n_pad)
+    gathered = jnp.take(x_full, idx, axis=1)  # (p, rows_loc, w)
     return jnp.einsum(
-        "rw,rwp->rp", data, gathered, preferred_element_type=data.dtype
+        "rw,prw->pr", data, gathered, preferred_element_type=data.dtype
     )
 
 
@@ -312,7 +321,7 @@ class GatherShardedEll(LinearOperator):
         return int(np.prod(self.data.shape))
 
     def _mapped(self, ndim):
-        spec = P(self.axis) if ndim == 1 else P(self.axis, None)
+        spec = P(self.axis) if ndim == 1 else P(None, self.axis)
         return _shard_map(
             functools.partial(_gather_mv_local, axis=self.axis),
             self.mesh,
@@ -327,9 +336,12 @@ class GatherShardedEll(LinearOperator):
         return self._mapped(2)(self.data, self.indices, X)
 
     def pad_vector(self, b) -> jax.Array:
+        """b: (n,) or block-major (p, n); pads/shard the row axis (last)."""
         b = jnp.asarray(b, self.dtype)
-        pad = [(0, self.n_padded - b.shape[0])] + [(0, 0)] * (b.ndim - 1)
-        spec = P(self.axis) if b.ndim == 1 else P(self.axis, None)
+        row_ax = b.ndim - 1
+        pad = [(0, 0)] * b.ndim
+        pad[row_ax] = (0, self.n_padded - b.shape[row_ax])
+        spec = P(self.axis) if b.ndim == 1 else P(None, self.axis)
         return jax.device_put(jnp.pad(b, pad), NamedSharding(self.mesh, spec))
 
     def tree_flatten(self):

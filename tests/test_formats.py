@@ -49,8 +49,9 @@ def test_spmv_matches_scipy(fmt, case, rng):
 def test_spmm_matches_scipy(fmt, rng):
     a = laplacian_2d_scipy(9)
     mat = FROMS[fmt](a, dtype=jnp.float64)
-    X = rng.standard_normal((a.shape[1], 6))
-    got = np.asarray(mat.mm(jnp.asarray(X)))
+    X = rng.standard_normal((6, a.shape[1]))  # block-major (p, n)
+    got = np.asarray(mat.mm(jnp.asarray(X))).T
+    X = X.T
     np.testing.assert_allclose(got, a @ X, rtol=1e-12, atol=1e-12)
 
 

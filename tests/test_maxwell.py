@@ -62,7 +62,7 @@ def test_matrix_free_mm(rng):
     a = assemble_maxwell_A(*dims)
     op = MaxwellOperator.create(*dims, dtype=jnp.float64)
     X = rng.standard_normal((a.shape[0], 4))
-    got = np.asarray(op.mm(jnp.asarray(X)))
+    got = np.asarray(op.mm(jnp.asarray(X.T))).T
     np.testing.assert_allclose(got, a @ X, rtol=1e-12, atol=1e-12)
 
 

@@ -49,12 +49,14 @@ def test_sharded_spmm_matches_scipy(builder, mesh, rng):
     op = builder(a, mesh, dtype=jnp.float64)
     if builder is halo_sharded_ell:
         assert op.perm is not None  # auto-RCM kicked in
-    x = rng.standard_normal((a.shape[0], 5))
+    x = rng.standard_normal((5, a.shape[0]))  # block-major (p, n)
     xs = op.pad_vector(x)
     y = op.mm(xs)
     if builder is halo_sharded_ell:
         y = op.unpad_vector(y)
-    np.testing.assert_allclose(np.asarray(y)[: a.shape[0]], a @ x, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(y)[:, : a.shape[0]], (a @ x.T).T, rtol=1e-12, atol=1e-12
+    )
 
 
 def test_halo_rejects_dense_coupling(mesh, rng):
@@ -96,7 +98,7 @@ def test_distributed_block_lanczos_matches_local(mesh, rng):
     a_sp = laplacian_2d_scipy(12, 10)
     n = a_sp.shape[0]
     p, m = 4, 6
-    b = rng.standard_normal((n, p))
+    b = rng.standard_normal((p, n))  # block-major
 
     ref = block_lanczos(
         MatrixOperator(jnp.asarray(a_sp.toarray())), jnp.asarray(b), m,
