@@ -7,13 +7,13 @@ waste vs ~57% for a raw 161-lane minor axis).  In this layout
 
   * an x-shift by +-1   == a lane roll by -+1,
   * a y-shift by +-1    == a lane roll by -+Xc,
-  * a z-shift by +-1    == a row offset inside the VMEM z-slab,
+  * a z-shift by +-1    == a one-row shift across the z-block boundary,
 
-so every shifted read is either a static slab slice or a `pltpu.roll` —
-no gathers, no relayouts.  Separable coefficients enter as one (Zc,)
-vector and one (P,) folded-plane vector per tap, with zeros everywhere
-outside the tap's valid region; rolls therefore wrap data only into
-zero-weighted positions.
+so every shifted read is a `pltpu.roll` or a static row recombination —
+no gathers, no relayouts, no index planes.  Separable coefficients enter
+as one (Zc,) vector and one (P,) folded-plane vector per tap, with zeros
+everywhere outside the tap's valid region; rolls therefore wrap data only
+into zero-weighted positions.
 
 This is the TPU-native realization of the reference's hottest kernel
 (`ell::SpMV/SpMM`, reference `source/kernels/spmv_spmm.hpp:106-199`): the
@@ -21,21 +21,23 @@ reference gathers 4 nonzeros per row via `float4` loads from a reordered
 ELL matrix; here the same 4-nonzero-per-row operator is computed from its
 separable structure with zero index traffic.
 
-Pipeline: the grid walks z-slabs; each step DMAs the next slab
-(n_comps, tz+2, P) HBM->VMEM double-buffered while computing the current
-one (the same software pipeline as the reference's shared-memory staging,
-`mm_ts.hpp:44-93`, re-expressed with async copies).
+Pipelining: the grid walks z-blocks of `tz` rows (a multiple of 8 — the
+f32 sublane tile, which HBM block fetches must respect).  The input is
+passed through TWO blocked specs — the current z-block and the
+clamped-neighbor block — so z-shifted rows come from the neighbor's edge
+row via an in-VMEM concatenate; Pallas double-buffers both streams
+automatically (the async analogue of the reference's shared-memory
+prefetch staging, `mm_ts.hpp:44-93`).
 
-Edge handling: slab starts are clamped to the array, which misaligns the
-first and last grid blocks by one row — the builder guarantees those
-blocks are entirely zero-weighted padding (interior z-offset = tz, one
-trailing all-pad block), so the misread values never contribute.
+Edge handling: neighbor indices are clamped at the mesh edges, which
+feeds wrong-but-finite rows ONLY into grid blocks the builder guarantees
+are entirely zero-weighted padding (interior z-offset = tz, one trailing
+all-pad block).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -55,9 +57,9 @@ class StencilSpec:
     n_in: int
     n_out: int
     taps: tuple[tuple[int, int, int, int], ...]
-    zc: int  # z capacity (multiple of tz; first/last block all-pad)
+    zc: int  # z capacity (multiple of tz; first & last block all-pad)
     plane: int  # folded-plane capacity P (multiple of 128)
-    tz: int = 4  # z rows per grid step
+    tz: int = 8  # z rows per grid step (multiple of 8: f32 sublane tile)
 
 
 def apply_stencil(
@@ -70,44 +72,66 @@ def apply_stencil(
     """u: (n_in, Zc, P); wz: (n_taps, Zc); wplane: (n_taps, P).
     Returns (n_out, Zc, P)."""
     tz = spec.tz
-    if spec.zc % tz:
-        raise ValueError("zc must be a multiple of tz")
+    if spec.zc % tz or tz % 8:
+        raise ValueError("zc must be a multiple of tz, tz a multiple of 8")
     nb = spec.zc // tz
     n_taps = len(spec.taps)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    # wz laid out as (Zc, n_taps) so each grid step's (tz, n_taps) block is
-    # a contiguous sublane slice; the kernel reads column t as (tz, 1).
+    has_zp = any(dz == 1 for (_, _, dz, _) in spec.taps)
+    has_zm = any(dz == -1 for (_, _, dz, _) in spec.taps)
+
+    # wz laid out as (Zc, n_taps): each grid step's (tz, n_taps) block is a
+    # legal VMEM block (tz % 8 == 0; n_taps equals the full minor dim).
     wz_t = wz.T.reshape(spec.zc, n_taps)
 
-    def kernel(u_hbm, wzb_ref, wp_ref, out_ref, slab, sems):
-        b = pl.program_id(0)
-        nb_ = pl.num_programs(0)
-
-        def slab_dma(bb, slot):
-            s = jnp.clip(bb * tz - 1, 0, spec.zc - (tz + 2))
-            return pltpu.make_async_copy(
-                u_hbm.at[:, pl.ds(s, tz + 2), :], slab.at[slot], sems.at[slot]
+    blk = (spec.n_in, tz, spec.plane)
+    in_specs = [
+        pl.BlockSpec(blk, lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tz, n_taps), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wplane, full
+    ]
+    operands = [u, wz_t, wplane]
+    if has_zp:
+        in_specs.append(
+            pl.BlockSpec(
+                blk, lambda b: (0, jnp.minimum(b + 1, nb - 1), 0),
+                memory_space=pltpu.VMEM,
             )
+        )
+        operands.append(u)
+    if has_zm:
+        in_specs.append(
+            pl.BlockSpec(
+                blk, lambda b: (0, jnp.maximum(b - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(u)
 
-        @pl.when(b == 0)
-        def _():
-            slab_dma(0, 0).start()
-
-        @pl.when(b + 1 < nb_)
-        def _():
-            slab_dma(b + 1, (b + 1) % 2).start()
-
-        cur = b % 2
-        slab_dma(b, cur).wait()
+    def kernel(cur_ref, wzb_ref, wp_ref, *rest):
+        refs = list(rest)
+        out_ref = refs.pop()
+        nxt_ref = refs.pop(0) if has_zp else None
+        prv_ref = refs.pop(0) if has_zm else None
 
         for oc in range(spec.n_out):
             acc = None
             for t, (tc, ic, dz, roll) in enumerate(spec.taps):
                 if tc != oc:
                     continue
-                v = slab[cur, ic, pl.ds(1 + dz, tz), :]
+                if dz == 0:
+                    v = cur_ref[ic]
+                elif dz == 1:
+                    v = jnp.concatenate(
+                        [cur_ref[ic, 1:, :], nxt_ref[ic, :1, :]], axis=0
+                    )
+                else:
+                    v = jnp.concatenate(
+                        [prv_ref[ic, tz - 1 :, :], cur_ref[ic, : tz - 1, :]],
+                        axis=0,
+                    )
                 if roll:
                     v = pltpu.roll(v, roll, axis=1)
                 term = v * wp_ref[t][None, :]
@@ -115,14 +139,14 @@ def apply_stencil(
                 acc = term if acc is None else acc + term
             out_ref[oc] = acc
 
+    def _kernel(*refs):
+        # reorder: (cur, wz, wp, [nxt], [prv], out, )
+        kernel(*refs)
+
     return pl.pallas_call(
-        kernel,
+        _kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # u stays in HBM; manual DMA
-            pl.BlockSpec((tz, n_taps), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wplane, full
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (spec.n_out, tz, spec.plane), lambda b: (0, b, 0),
             memory_space=pltpu.VMEM,
@@ -130,9 +154,11 @@ def apply_stencil(
         out_shape=jax.ShapeDtypeStruct(
             (spec.n_out, spec.zc, spec.plane), u.dtype
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, spec.n_in, tz + 2, spec.plane), u.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        # Default scoped-VMEM limit is 16MB; the double-buffered
+        # (cur, nbr, out) block streams need slightly more at tz=8 and
+        # comfortably fit the chip's physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(u, wz_t, wplane)
+    )(*operands)
