@@ -13,6 +13,7 @@ from lanczos_tpu.parallel.dist_operator import (
     gather_sharded_ell,
     halo_sharded_ell,
 )
+from lanczos_tpu.parallel.dist_stencil import DistributedPallasMaxwell
 
 __all__ = [
     "ROWS_AXIS",
@@ -23,4 +24,5 @@ __all__ = [
     "HaloShardedEll",
     "gather_sharded_ell",
     "halo_sharded_ell",
+    "DistributedPallasMaxwell",
 ]
