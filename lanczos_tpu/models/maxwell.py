@@ -347,3 +347,26 @@ def assemble_maxwell_A(nx: int, ny: int, nz: int):
 
     D, w = maxwell_scipy(nx, ny, nz)
     return (D @ sp.diags(w)).tocsr()
+
+
+def maxwell_ell_operator(nx: int, ny: int, nz: int, row_pad: int = 8):
+    """Assembled width-4 ELL Maxwell operator via the native (C++) engine
+    — the gathered-SpMV counterpart of the matrix-free stencil, for
+    benchmarking the generic ELL path at the reference's 24.6M-row sizes
+    where the scipy Kron pipeline is impractical.  Falls back to scipy
+    assembly + Python packing when the toolchain is unavailable."""
+    import jax.numpy as jnp
+
+    from lanczos_tpu import native
+    from lanczos_tpu.ops.formats import EllMatrix, ell_from_scipy, _round_up
+
+    shapes = maxwell_component_shapes(nx, ny, nz)
+    n = int(sum(int(np.prod(s)) for s in shapes))
+    rows_pad = _round_up(n, row_pad)
+    descs, arrays = _build_taps(nx, ny, nz, np.float64)
+    packed = native.maxwell_ell(descs, arrays, shapes, n, rows_pad)
+    if packed is None:
+        return ell_from_scipy(assemble_maxwell_A(nx, ny, nz), width=4,
+                              row_pad=row_pad)
+    data, idx = packed
+    return EllMatrix(jnp.asarray(data), jnp.asarray(idx), n, n)

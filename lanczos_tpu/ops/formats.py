@@ -120,13 +120,22 @@ def ell_from_scipy(a, dtype=jnp.float32, row_pad: int = ROW_TILE, width: int | N
     w = int(per_row.max()) if width is None else width
     w = max(w, 1)
     rows_pad = _round_up(n, row_pad)
-    data = np.zeros((rows_pad, w), dtype=np.dtype(dtype))
-    idx = np.zeros((rows_pad, w), dtype=np.int32)
-    for i in range(n):
-        lo, hi = a.indptr[i], a.indptr[i + 1]
-        k = hi - lo
-        data[i, :k] = a.data[lo:hi]
-        idx[i, :k] = a.indices[lo:hi]
+
+    from lanczos_tpu import native
+
+    packed = native.ell_from_csr(
+        a.indptr, a.indices, a.data, n, rows_pad, w, np.dtype(dtype)
+    )
+    if packed is not None:
+        data, idx = packed
+    else:  # pure-NumPy fallback (native toolchain unavailable)
+        data = np.zeros((rows_pad, w), dtype=np.dtype(dtype))
+        idx = np.zeros((rows_pad, w), dtype=np.int32)
+        for i in range(n):
+            lo, hi = a.indptr[i], a.indptr[i + 1]
+            k = hi - lo
+            data[i, :k] = a.data[lo:hi]
+            idx[i, :k] = a.indices[lo:hi]
     return EllMatrix(jnp.asarray(data), jnp.asarray(idx), n, m)
 
 

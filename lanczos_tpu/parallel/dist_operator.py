@@ -254,15 +254,26 @@ def halo_sharded_ell(
 
     per_row = np.diff(a.indptr)
     w = max(int(per_row.max(initial=0)), 1)
-    data = np.zeros((n_pad, w), np.dtype(dtype))
-    # pad entries point at the first local row (data 0 -> contributes 0)
-    idx = np.full((n_pad, w), halo, np.int32)
-    for i in range(n):
-        lo, hi = a.indptr[i], a.indptr[i + 1]
-        k = hi - lo
-        data[i, :k] = a.data[lo:hi]
-        base = (i // rows_loc) * rows_loc
-        idx[i, :k] = a.indices[lo:hi] - base + halo
+
+    from lanczos_tpu import native
+
+    packed = None
+    if np.dtype(dtype) == np.float32:
+        packed = native.halo_ell_from_csr(
+            a.indptr, a.indices, a.data, n, n_pad, w, rows_loc, halo
+        )
+    if packed is not None:
+        data, idx = packed
+    else:
+        data = np.zeros((n_pad, w), np.dtype(dtype))
+        # pad entries point at the first local row (data 0 -> contributes 0)
+        idx = np.full((n_pad, w), halo, np.int32)
+        for i in range(n):
+            lo, hi = a.indptr[i], a.indptr[i + 1]
+            k = hi - lo
+            data[i, :k] = a.data[lo:hi]
+            base = (i // rows_loc) * rows_loc
+            idx[i, :k] = a.indices[lo:hi] - base + halo
     sh = NamedSharding(mesh, P(axis, None))
     return HaloShardedEll(
         jax.device_put(jnp.asarray(data), sh),
