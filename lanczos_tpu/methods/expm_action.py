@@ -26,7 +26,7 @@ from lanczos_tpu.ops.tridiag import (
 )
 
 
-@partial(jax.jit, static_argnames=("m", "reorth"))
+@partial(jax.jit, static_argnames=("m", "reorth", "trace_fn"))
 def lanczos_expm_action(
     a,
     b: jax.Array,
@@ -35,16 +35,18 @@ def lanczos_expm_action(
     lc: jax.Array | int,
     *,
     reorth: str = "none",
+    trace_fn=None,
 ):
-    """Scalar approximation of [expm(t_end*A) b]_{lc} via m-step Lanczos."""
-    res = vector_lanczos(a, b, m, lc, reorth=reorth)
+    """Scalar approximation of [expm(t_end*A) b]_{lc} via m-step Lanczos.
+    For non-flat operator states pass trace_fn (see vector_lanczos)."""
+    res = vector_lanczos(a, b, m, lc, reorth=reorth, trace_fn=trace_fn)
     t = assemble_tridiagonal(res.alphas, res.betas[1:])
     e = expm_sym(t_end * t, backend="lax")
     # beta_0 * (expm(T) e1) . trace
     return res.betas[0] * jnp.sum(e[:, 0] * res.trace)
 
 
-@partial(jax.jit, static_argnames=("m", "reorth", "eig_backend"))
+@partial(jax.jit, static_argnames=("m", "reorth", "eig_backend", "trace_fn"))
 def block_lanczos_expm_action(
     a,
     b: jax.Array,
@@ -54,10 +56,12 @@ def block_lanczos_expm_action(
     *,
     reorth: str = "none",
     eig_backend: str = "jacobi",
+    trace_fn=None,
 ):
     """Row lc (length p) of expm(t_end*A) B via m-step block Lanczos.
-    B is BLOCK-MAJOR (p, n)."""
-    res = block_lanczos(a, b, m, lc, reorth=reorth, eig_backend=eig_backend)
+    B is BLOCK-MAJOR (p, n); for non-flat operator states pass trace_fn."""
+    res = block_lanczos(a, b, m, lc, reorth=reorth, eig_backend=eig_backend,
+                        trace_fn=trace_fn)
     p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])
     e = expm_sym(t_end * t, backend="lax")
