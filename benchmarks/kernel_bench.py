@@ -1,14 +1,17 @@
 """Per-kernel micro-benchmarks, mirroring the reference's measurement
 drivers (`source/kernels/measurements/*.cu`, SURVEY.md §2 #23): Gram
-products `mm_tt`/`mm_tt2`, tall x small `mm_ts`, SpMV/SpMM (ELL gather
-path + matrix-free Maxwell stencil), and the small-eig `sqrtm`, swept over
+products `mm_tt`/`mm_tt2`, tall x small `mm_ts`, SpMV/SpMM (gathered ELL
+path + the Pallas Maxwell stencil), and the small-eig `sqrtm`, swept over
 the reference's N_COL = [2 4 6 8 10 12 14 16 18] where applicable.
+
+Timing: loop-slope protocol (`lanczos_tpu.utils.bench_loop`) — dispatch-
+latency-free and elision-proof on the tunneled TPU backend.
 
 Byte/flop models reproduce the reference's analytic formulas
 (e.g. `measurements/mm_tt.cu:249-256`: T counted twice) so the GB/s
 columns are comparable with BASELINE.md.
 
-Usage: python benchmarks/kernel_bench.py [--rows 10000000] [--json out.json]
+Usage: python benchmarks/kernel_bench.py [--only mm_tt,sqrtm] [--json out]
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-from lanczos_tpu.utils.timing import benchmark_best
+from lanczos_tpu.utils.bench_loop import slope_time, slope_time_chain
 
 NCOLS = [2, 4, 6, 8, 10, 12, 14, 16, 18]
 
@@ -33,136 +36,129 @@ def bench_mm_tt(rows: int, dtype=jnp.float32):
     key = jax.random.PRNGKey(0)
     for p in NCOLS:
         t = jax.random.normal(key, (rows, p), dtype)
-        f = jax.jit(
+        s = slope_time(
             lambda t: jax.lax.dot_general(
                 t, t, (((0,), (0,)), ((), ())), preferred_element_type=dtype
-            )
+            ),
+            t,
         )
-        s = benchmark_best(f, t, tests=5, reps=10)
         bs = jnp.dtype(dtype).itemsize
         bytes_moved = 2 * rows * p * bs  # reference model: T counted twice
         flops = 2.0 * rows * p * p
-        out.append(
-            {"n_col": p, "seconds": s, "gbps": bytes_moved / s / 1e9,
-             "gflops": flops / s / 1e9}
-        )
+        out.append({"n_col": p, "seconds": s, "gbps": bytes_moved / s / 1e9,
+                    "gflops": flops / s / 1e9})
     return out
 
 
 def bench_mm_tt2(rows: int, dtype=jnp.float32):
     """R = 1/2 (T1^T T2 + T2^T T1) (reference mm_tt2.hpp)."""
     out = []
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     for p in NCOLS:
         t1 = jax.random.normal(k1, (rows, p), dtype)
         t2 = jax.random.normal(k2, (rows, p), dtype)
 
-        def f(t1, t2):
+        def f(t1, t2=t2):
             g = jax.lax.dot_general(
                 t1, t2, (((0,), (0,)), ((), ())), preferred_element_type=dtype
             )
             return 0.5 * (g + g.T)
 
-        fj = jax.jit(f)
-        s = benchmark_best(fj, t1, t2, tests=5, reps=10)
+        s = slope_time(f, t1)
         bs = jnp.dtype(dtype).itemsize
         bytes_moved = 2 * rows * p * bs
         flops = 2.0 * rows * p * p
-        out.append(
-            {"n_col": p, "seconds": s, "gbps": bytes_moved / s / 1e9,
-             "gflops": flops / s / 1e9}
-        )
+        out.append({"n_col": p, "seconds": s, "gbps": bytes_moved / s / 1e9,
+                    "gflops": flops / s / 1e9})
     return out
 
 
 def bench_mm_ts(rows: int, dtype=jnp.float32):
-    """R = T S and fused R -= T S (reference mm_ts.hpp)."""
+    """Fused update R -= T S (reference mm_ts.hpp mm_ts2)."""
     out = []
     key = jax.random.PRNGKey(0)
     for p in NCOLS:
         t = jax.random.normal(key, (rows, p), dtype)
-        s_small = jax.random.normal(key, (p, p), dtype)
-        r0 = jax.random.normal(key, (rows, p), dtype)
-        f = jax.jit(lambda r, t, s: r - t @ s)  # fused subtract-update
-        sec = benchmark_best(f, r0, t, s_small, tests=5, reps=10)
+        s_small = jax.random.normal(key, (p, p), dtype) * 1e-3
+        sec = slope_time_chain(lambda r: r - r @ s_small, t, damp=1.0)
         bs = jnp.dtype(dtype).itemsize
         bytes_moved = 3 * rows * p * bs  # read T, read R, write R
         flops = 2.0 * rows * p * p
-        out.append(
-            {"n_col": p, "seconds": sec, "gbps": bytes_moved / sec / 1e9,
-             "gflops": flops / sec / 1e9}
-        )
+        out.append({"n_col": p, "seconds": sec, "gbps": bytes_moved / sec / 1e9,
+                    "gflops": flops / sec / 1e9})
     return out
 
 
 def bench_sqrtm(dtype=jnp.float32, sweeps: int = 10):
     """sqrtm + inv-sqrtm of one N_COL x N_COL SPD matrix (reference
-    my_sqrtm_cusolver.hpp / syevjBatched)."""
+    my_sqrtm_cusolver.hpp / cuSOLVER syevjBatched)."""
     from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
 
     out = []
     key = jax.random.PRNGKey(0)
     for p in NCOLS:
-        g = jax.random.normal(key, (1024, p), dtype)
+        g = jax.random.normal(key, (256, p), dtype)
         a = jax.lax.dot_general(
             g, g, (((0,), (0,)), ((), ())), preferred_element_type=dtype
         ) + p * jnp.eye(p, dtype=dtype)
-        f = jax.jit(lambda a: sqrtm_invsqrtm(a, backend="jacobi", sweeps=sweeps))
-        s = benchmark_best(f, a, tests=5, reps=10)
+        a = a / jnp.trace(a)
+
+        def step(a):
+            sq, inv = sqrtm_invsqrtm(a, backend="jacobi", sweeps=sweeps)
+            g = sq + inv
+            return g / jnp.trace(g)  # stays SPD: chainable
+
+        s = slope_time_chain(step, a, damp=1.0)
         out.append({"n_col": p, "seconds": s})
     return out
 
 
 def bench_spmm_ell(n_grid: int, dtype=jnp.float32):
-    """Gathered ELL SpMM on the Maxwell matrix (reference ell::SpMM)."""
-    from lanczos_tpu.models.maxwell import assemble_maxwell_A
-    from lanczos_tpu.ops.formats import ell_from_scipy
+    """Gathered ELL SpMM on the Maxwell matrix (reference ell::SpMM),
+    native-assembled at width 4."""
+    from lanczos_tpu.models.maxwell import maxwell_ell_operator
 
-    a = ell_from_scipy(assemble_maxwell_A(n_grid, n_grid, n_grid), dtype=dtype)
+    a = maxwell_ell_operator(n_grid, n_grid, n_grid)
     rows = a.shape[0]
     out = []
     key = jax.random.PRNGKey(0)
-    for p in NCOLS:
-        x = jax.random.normal(key, (rows, p), dtype)
-        f = jax.jit(lambda x: a.mm(x))
-        s = benchmark_best(f, x, tests=3, reps=5)
+    for p in [1] + NCOLS:
+        x = jax.random.normal(key, (rows,) if p == 1 else (p, rows), dtype)
+        step = a.mv if p == 1 else a.mm  # square operator: chainable
+        s = slope_time_chain(step, x)
         bs = jnp.dtype(dtype).itemsize
         nnz = a.padded_rows * a.width
         # reference model (spmv_spmm.cu): data + idx + x gathers + y write
-        bytes_moved = nnz * (bs + 4) + rows * p * bs * 2
-        flops = 2.0 * nnz * p
-        out.append(
-            {"n_col": p, "rows": rows, "seconds": s,
-             "nnz_per_s": nnz / s, "gbps": bytes_moved / s / 1e9,
-             "gflops": flops / s / 1e9}
-        )
+        bytes_moved = nnz * (bs + 4) + rows * max(p, 1) * bs * 2
+        flops = 2.0 * nnz * max(p, 1)
+        out.append({"n_col": p, "rows": rows, "seconds": s,
+                    "nnz_per_s": nnz / s, "gbps": bytes_moved / s / 1e9,
+                    "gflops": flops / s / 1e9})
     return out
 
 
 def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
-    """Matrix-free Maxwell stencil SpMM (the TPU-native fast path)."""
-    from lanczos_tpu.models.maxwell import MaxwellOperator
+    """Pallas Maxwell stencil SpMM (the TPU-native fast path)."""
+    from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
 
-    op = MaxwellOperator.create(n_grid, n_grid, n_grid, dtype=dtype)
+    op = PallasMaxwellOperator.create(n_grid, n_grid, n_grid, dtype=dtype)
     rows = op.n
     out = []
     key = jax.random.PRNGKey(0)
-    for p in [1] + NCOLS:
-        x = jax.random.normal(
-            key, (rows,) if p == 1 else (rows, p), dtype
+    for p in [1, 2, 4, 8]:
+        x = op.pack(
+            jax.random.normal(key, (rows,) if p == 1 else (p, rows), dtype)
         )
-        f = jax.jit(op.mv if p == 1 else op.mm)
-        s = benchmark_best(f, x, tests=3, reps=5)
+        step = op.mv if p == 1 else op.mm
+        s = slope_time_chain(step, x)
         bs = jnp.dtype(dtype).itemsize
         nnz = 4 * rows  # logical ELL width 4
         bytes_moved = 2 * rows * max(p, 1) * bs  # read x + write y only
         flops = 2.0 * nnz * max(p, 1)
-        out.append(
-            {"n_col": p, "rows": rows, "seconds": s,
-             "nnz_per_s": nnz / s, "gbps": bytes_moved / s / 1e9,
-             "gflops": flops / s / 1e9}
-        )
+        out.append({"n_col": p, "rows": rows, "seconds": s,
+                    "nnz_per_s": nnz * max(p, 1) / s,
+                    "gbps": bytes_moved / s / 1e9,
+                    "gflops": flops / s / 1e9})
     return out
 
 
@@ -181,7 +177,7 @@ def main():
     ap.add_argument("--rows", type=int, default=10_000_000)  # mm_tt ref size
     ap.add_argument("--rows-ts", type=int, default=3_000_000)  # mm_ts ref size
     ap.add_argument("--grid", type=int, default=160)  # spmv ref N=160
-    ap.add_argument("--grid-ell", type=int, default=64)
+    ap.add_argument("--grid-ell", type=int, default=96)
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset of " + ",".join(BENCHES))
     ap.add_argument("--json", type=str, default=None)

@@ -94,9 +94,9 @@ def block_lanczos(
 ) -> BlockLanczosResult:
     """b: (p, *state_shape), block-major.  `trace_fn(q) -> (p,)` overrides
     the default receiver extraction (flat index lc per block column)."""
-    if reorth not in ("none", "full", "periodic"):
+    if reorth not in ("none", "full", "periodic", "selective"):
         raise ValueError(f"unknown reorth mode {reorth!r}")
-    need_basis = store_basis or reorth in ("full", "periodic")
+    need_basis = store_basis or reorth in ("full", "periodic", "selective")
     p = b.shape[0]
     dtype = b.dtype
     lc_idx = jnp.asarray(0 if lc is None else lc, jnp.int32)
@@ -124,10 +124,23 @@ def block_lanczos(
     w = w - _mix(alpha0, q0)
 
     karr = jnp.arange(m)
+    eps = jnp.finfo(dtype).eps
+    sqrt_eps = jnp.sqrt(eps)
     if need_basis:
         basis0 = jnp.zeros((m,) + b.shape, dtype).at[0].set(q0)
     else:
         basis0 = jnp.zeros((1,) + b.shape, dtype)
+
+    def _fro(x):
+        return jnp.sqrt(jnp.sum(x * x))
+
+    # Block-omega histories (selective reorth): Frobenius norms of the
+    # alpha/beta blocks stand in for the scalar |alpha|/|beta| of Simon's
+    # vector recurrence — a conservative block generalization (the true
+    # growth factor is sigma_min(beta_j) <= ||beta_j||_F).
+    na_hist0 = jnp.zeros((m,), dtype).at[0].set(_fro(alpha0))
+    nb_hist0 = jnp.zeros((m,), dtype).at[0].set(_fro(beta0))
+    omega0 = jnp.zeros((m,), dtype).at[0].set(1.0)
 
     def block_cgs2(wv, basis, valid_mask):
         # W -= Q_k (Q_k^T W) over all valid blocks, twice (CGS2).
@@ -142,7 +155,42 @@ def block_lanczos(
         return wv
 
     def body(carry, j):
-        q_prev, wv, basis = carry
+        (q_prev, wv, basis, om_prev, om, na_hist, nb_hist, force) = carry
+
+        if reorth == "selective":
+            # Block omega recurrence (Simon '84 generalized with block
+            # Frobenius norms): estimate max_k ||Q_j^T Q_k|| and
+            # reorthogonalize the residual only when it crosses sqrt(eps).
+            nb_tent = jnp.maximum(_fro(wv), jnp.finfo(dtype).tiny)
+            nbh = nb_hist.at[0].set(0.0)
+            nb_kp1 = jnp.roll(nbh, -1)
+            om_kp1 = jnp.roll(om, -1)
+            om_km1 = jnp.roll(om, 1)
+            na_jm1 = jnp.take(na_hist, j - 1)
+            nb_jm1 = jnp.take(nbh, j - 1)
+            tilde = (
+                (na_hist + na_jm1) * om
+                + nb_kp1 * om_kp1
+                + nbh * om_km1
+                + nb_jm1 * om_prev
+            )
+            om_new = tilde / nb_tent + eps * (nb_kp1 + nb_tent) / nb_tent
+            seed = eps * b.size * jnp.take(nbh, 1) / nb_tent
+            om_new = jnp.where(karr == j - 1, seed, om_new)
+            om_new = jnp.where(karr == j, 1.0, om_new)
+            om_new = jnp.where(karr > j, 0.0, om_new)
+            older = karr <= (j - 2)
+            trigger = force | (
+                jnp.max(jnp.abs(jnp.where(older, om_new, 0.0))) > sqrt_eps
+            )
+            valid = (karr <= j - 1).astype(dtype)
+            wv = jax.lax.cond(
+                trigger, lambda v: block_cgs2(v, basis, valid), lambda v: v, wv
+            )
+            om_new = jnp.where(trigger & (karr <= j - 1), eps, om_new)
+            force = trigger & jnp.logical_not(force)
+            om_prev, om = om, om_new
+
         gram = _gram(wv, wv)
         beta, inv = sqrtm_inv(gram)
         q = _mix(inv, wv)
@@ -164,9 +212,20 @@ def block_lanczos(
                 wn,
             )
 
-        return (q, wn, basis), (alpha, beta, trace_at(q))
+        na_hist = jax.lax.dynamic_update_index_in_dim(
+            na_hist, _fro(alpha), j, 0
+        )
+        nb_hist = jax.lax.dynamic_update_index_in_dim(
+            nb_hist, _fro(beta), j, 0
+        )
+        new_carry = (q, wn, basis, om_prev, om, na_hist, nb_hist, force)
+        return new_carry, (alpha, beta, trace_at(q))
 
-    carry0 = (q0, w, basis0)
+    carry0 = (
+        q0, w, basis0,
+        jnp.zeros((m,), dtype), omega0, na_hist0, nb_hist0,
+        jnp.asarray(False),
+    )
     if m > 1:
         carry, (alphas_r, betas_r, traces_r) = jax.lax.scan(
             body, carry0, jnp.arange(1, m)

@@ -1,0 +1,193 @@
+"""Checkpoint / resume for long Lanczos and FDTD runs.
+
+The reference has no checkpointing (SURVEY.md §5: "Checkpoint / resume:
+None") — its 10^6-step FDTD oracle and long Lanczos sweeps restart from
+scratch on any failure.  Here both integrators run in restartable chunks:
+the three-term recurrence's full state is tiny (two live vectors + the
+coefficient history), so checkpoints are cheap and exact.
+
+Format: a single .npz per checkpoint (atomic rename), holding the carry
+vectors, coefficient/trace prefixes, and the step counter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lanczos_tpu.methods.vector_lanczos import VectorLanczosResult, _norm
+
+
+@dataclasses.dataclass
+class LanczosCheckpoint:
+    """Exact state of a paused single-vector Lanczos run (reorth='none':
+    the bare recurrence is memoryless beyond (q_prev, w))."""
+
+    j: int  # completed iterations (alphas[0..j) valid)
+    m: int  # target iteration count
+    alphas: np.ndarray  # (m,)
+    betas: np.ndarray  # (m,)
+    trace: np.ndarray  # (m,)
+    q_prev: np.ndarray  # (*state,)
+    w: np.ndarray  # (*state,)
+
+    def save(self, path: str) -> None:
+        d = dataclasses.asdict(self)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+        os.close(fd)
+        np.savez(tmp, **d)
+        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "LanczosCheckpoint":
+        z = np.load(path)
+        return cls(
+            j=int(z["j"]), m=int(z["m"]), alphas=z["alphas"],
+            betas=z["betas"], trace=z["trace"], q_prev=z["q_prev"], w=z["w"],
+        )
+
+
+def _chunk_steps(a, q_prev, w, lc_idx, trace_fn, n_steps: int):
+    """n_steps bare three-term iterations starting from (q_prev, w)."""
+
+    if trace_fn is None:
+        def trace_at(q):
+            qf = q.reshape(-1) if q.ndim > 1 else q
+            return jax.lax.dynamic_index_in_dim(qf, lc_idx, keepdims=False)
+    else:
+        trace_at = trace_fn
+
+    def body(carry, _):
+        q_prev, wv = carry
+        beta = _norm(wv)
+        q = wv / beta
+        wn = a.mv(q) - beta * q_prev
+        alpha = jnp.sum(wn * q)
+        wn = wn - alpha * q
+        return (q, wn), (alpha, beta, trace_at(q))
+
+    (q, wn), (al, be, tr) = jax.lax.scan(
+        body, (q_prev, w), None, length=n_steps
+    )
+    return q, wn, al, be, tr
+
+
+_chunk_steps_jit = jax.jit(_chunk_steps, static_argnames=("n_steps", "trace_fn"))
+
+
+def vector_lanczos_checkpointed(
+    a,
+    b: jax.Array,
+    m: int,
+    lc=None,
+    *,
+    chunk: int = 64,
+    path: str | None = None,
+    resume: bool = True,
+    trace_fn=None,
+) -> VectorLanczosResult:
+    """m-step single-vector Lanczos run in restartable chunks.
+
+    If `path` exists and `resume`, continues from the saved state; a
+    checkpoint is (re)written after every chunk.  Matches
+    `vector_lanczos(..., reorth='none')` exactly.
+    """
+    lc_idx = jnp.asarray(0 if lc is None else lc, jnp.int32)
+
+    if path and resume and os.path.exists(path):
+        ck = LanczosCheckpoint.load(path)
+        assert ck.m == m, "checkpoint was for a different m"
+        j = ck.j
+        alphas = ck.alphas.copy()
+        betas = ck.betas.copy()
+        trace = ck.trace.copy()
+        q_prev = jnp.asarray(ck.q_prev)
+        w = jnp.asarray(ck.w)
+    else:
+        beta0 = _norm(b)
+        q0 = b / beta0
+        w = a.mv(q0)
+        alpha0 = jnp.sum(w * q0)
+        w = w - alpha0 * q0
+        dt = np.dtype(b.dtype)
+        alphas = np.zeros(m, dt)
+        betas = np.zeros(m, dt)
+        trace = np.zeros(m, dt)
+        alphas[0] = float(alpha0)
+        betas[0] = float(beta0)
+        if trace_fn is not None:
+            trace[0] = float(trace_fn(q0))
+        else:
+            qf = q0.reshape(-1) if q0.ndim > 1 else q0
+            trace[0] = float(qf[int(lc_idx)])
+        q_prev = q0
+        j = 1
+
+    while j < m:
+        k = min(chunk, m - j)
+        q_prev, w, al, be, tr = _chunk_steps_jit(
+            a, q_prev, w, lc_idx, trace_fn, k
+        )
+        alphas[j : j + k] = np.asarray(al)
+        betas[j : j + k] = np.asarray(be)
+        trace[j : j + k] = np.asarray(tr)
+        j += k
+        if path:
+            LanczosCheckpoint(
+                j=j, m=m, alphas=alphas, betas=betas, trace=trace,
+                q_prev=np.asarray(q_prev), w=np.asarray(w),
+            ).save(path)
+
+    return VectorLanczosResult(
+        alphas=jnp.asarray(alphas),
+        betas=jnp.asarray(betas),
+        trace=jnp.asarray(trace),
+        basis=None,
+        breakdown=jnp.asarray(False),
+    )
+
+
+def fdtd_checkpointed(
+    a,
+    u0: jax.Array,
+    nsteps: int,
+    t_end: float,
+    *,
+    chunk: int = 100_000,
+    path: str | None = None,
+    resume: bool = True,
+) -> jax.Array:
+    """Forward-Euler u += dt A u in restartable chunks (the reference's
+    10^6-step oracle, fdtd.hpp:7, with resume)."""
+    dt = float(t_end) / nsteps
+
+    start = 0
+    u = u0
+    if path and resume and os.path.exists(path):
+        z = np.load(path)
+        if int(z["nsteps"]) == nsteps and float(z["t_end"]) == float(t_end):
+            start = int(z["step"])
+            u = jnp.asarray(z["u"])
+
+    @jax.jit
+    def run_chunk(u, k_arr):
+        def body(i, u):
+            return u + dt * a.mv(u)
+        return jax.lax.fori_loop(0, k_arr, body, u)
+
+    while start < nsteps:
+        k = min(chunk, nsteps - start)
+        u = run_chunk(u, k)
+        start += k
+        if path:
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+            os.close(fd)
+            np.savez(tmp, u=np.asarray(u), step=start, nsteps=nsteps,
+                     t_end=t_end)
+            os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+    return u

@@ -1,0 +1,83 @@
+"""Honest device-time measurement for a single op.
+
+This environment's tunneled TPU backend resolves `block_until_ready`
+before execution finishes and has a ~30-45 ms host round-trip, so naive
+wall-clock timing is meaningless.  The working instrument:
+
+  time(k) = wall time of ONE dispatch running the op k times inside a
+            device-side fori_loop, synced by fetching a scalar;
+  per-op seconds = (time(k2) - time(k1)) / (k2 - k1).
+
+The loop body threads a data dependency through the iterations (a one-
+element update of the input driven by the previous output) so XLA cannot
+hoist the loop-invariant op out of the loop, and the scalar fetch forces
+real completion.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def slope_time(op, x, k1: int = 2, k2: int = 12, trials: int = 3) -> float:
+    """Per-call seconds of `op(x)`; x is the large operand, re-fed with a
+    one-element perturbation each iteration."""
+
+    def make(k):
+        def body(i, carry):
+            t, acc = carry
+            r = op(t)
+            acc = acc + jnp.sum(r) * 1e-30
+            # cheap one-element dependency: defeats loop-invariant hoisting
+            upd = (t.reshape(-1)[0] + acc).astype(t.dtype)
+            flat = t.reshape(-1).at[0].set(upd)
+            return flat.reshape(t.shape), acc
+
+        def fn(t):
+            _, acc = lax.fori_loop(0, k, body, (t, jnp.float32(0.0)))
+            return acc
+
+        return jax.jit(fn)
+
+    fns = {k: make(k) for k in (k1, k2)}
+    for f in fns.values():
+        float(f(x))  # compile + warm
+    best = {}
+    for k, f in fns.items():
+        b = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(f(x))
+            b = min(b, time.perf_counter() - t0)
+        best[k] = b
+    return max((best[k2] - best[k1]) / (k2 - k1), 1e-9)
+
+
+def slope_time_chain(step, x, k1: int = 2, k2: int = 12, trials: int = 3,
+                     damp: float = 1e-2) -> float:
+    """Per-call seconds for a self-map y = step(y) (SpMV/SpMM-style),
+    chained directly: y_{k+1} = damp * step(y_k)."""
+
+    def make(k):
+        return jax.jit(
+            lambda x: jnp.sum(
+                lax.fori_loop(0, k, lambda i, y: step(y) * damp, x)
+            )
+        )
+
+    fns = {k: make(k) for k in (k1, k2)}
+    for f in fns.values():
+        float(f(x))
+    best = {}
+    for k, f in fns.items():
+        b = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(f(x))
+            b = min(b, time.perf_counter() - t0)
+        best[k] = b
+    return max((best[k2] - best[k1]) / (k2 - k1), 1e-9)

@@ -193,3 +193,21 @@ def test_breakdown_rank_deficient_start(rng):
     )
     assert np.all(np.isfinite(np.asarray(res.alphas)))
     assert np.all(np.isfinite(np.asarray(res.betas)))
+
+
+@pytest.mark.parametrize("reorth", ["none", "full", "selective"])
+def test_block_orthogonality_modes(reorth, rng):
+    """Selective (block-omega) reorth must hold orthogonality where the
+    bare recurrence loses it, at lower cost than full CGS2."""
+    n, p, m = 300, 4, 24
+    d = np.geomspace(1, 1e8, n)
+    a = MatrixOperator(jnp.asarray(np.diag(d)))
+    b = jnp.asarray(rng.standard_normal((p, n)))
+    res = block_lanczos(a, b, m, reorth=reorth, store_basis=True,
+                        eig_backend="lax")
+    q = np.asarray(res.basis).reshape(m * p, n)
+    err = np.abs(q @ q.T - np.eye(m * p)).max()
+    if reorth == "none":
+        assert err > 1e-6  # bare recurrence loses orthogonality
+    else:
+        assert err < 1e-7, f"{reorth}: {err}"
