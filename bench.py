@@ -16,45 +16,26 @@ consumes the previous output, exactly like the Lanczos/FDTD loops), with
 a scalar fetch as the sync point.  This cancels dispatch/tunnel latency
 and makes elision impossible — `block_until_ready` on this environment's
 tunneled TPU backend does NOT wait for execution, so naive wall-clock
-timing reads absurdly fast.
+timing reads absurdly fast.  Anti-overflow damping of the chained
+iteration is folded into the operator's weights (`op.scaled`): a separate
+`* damp` XLA pass would re-read and re-write the whole state and double
+the apparent time of this memory-bound kernel.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import sys
-import time
 
 sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
-from jax import lax
-
-
-def slope_seconds(step, x, k1=2, k2=12, trials=3):
-    """Per-step seconds via the k2-vs-k1 loop-length slope."""
-    fns = {}
-    for k in (k1, k2):
-        fns[k] = jax.jit(
-            lambda x, k=k: jnp.sum(
-                lax.fori_loop(0, k, lambda i, y: step(y) * 1e-2, x)
-            )
-        )
-        float(fns[k](x))  # compile + warm
-    best = {}
-    for k in (k1, k2):
-        b = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(fns[k](x))
-            b = min(b, time.perf_counter() - t0)
-        best[k] = b
-    return (best[k2] - best[k1]) / (k2 - k1)
 
 
 def main():
     from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
+    from lanczos_tpu.utils.bench_loop import slope_time_chain
 
     # Reference geometry: N=160 => ~24.6M rows (spmv_spmm.cu:345), p=4.
     n_grid, p = 160, 4
@@ -62,12 +43,15 @@ def main():
     if dev.platform == "cpu":
         n_grid = 24  # smoke-test size for CI / CPU runs
 
-    op = PallasMaxwellOperator.create(n_grid, n_grid, n_grid, dtype=jnp.float32)
+    op = PallasMaxwellOperator.create(
+        n_grid, n_grid, n_grid, dtype=jnp.float32, tz=16
+    )
     n = op.n
     key = jax.random.PRNGKey(0)
-    u = op.pack(jax.random.normal(key, (p, n), jnp.float32))
+    damped = op.scaled(1e-2)  # ||1e-2 * A|| ~ 6: 12 chained steps stay finite
+    u = damped.pack(jax.random.normal(key, (p, n), jnp.float32))
 
-    secs = slope_seconds(lambda y: op.mm(y), u)
+    secs = slope_time_chain(lambda y: damped.mm(y), u, damp=None)
 
     # Logical nnz of the assembled operator: ELL width 4 (2 curl blocks x
     # 2 taps per output row), matching the reference's flop model.

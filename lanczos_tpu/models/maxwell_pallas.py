@@ -28,11 +28,14 @@ from lanczos_tpu.models.maxwell import (
     maxwell_component_shapes,
 )
 from lanczos_tpu.ops.operator import LinearOperator
-from lanczos_tpu.ops.pallas import StencilSpec, apply_stencil
+from lanczos_tpu.ops.pallas import StencilSpec, apply_stencil_pair
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+Z_OFF = 8  # z-storage row of the first interior plane (8 = f32 sublane tile)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -41,8 +44,10 @@ class PallasMaxwellOperator(LinearOperator):
 
     def __init__(self, nx, ny, nz, weights, specs, dtype_name="float32"):
         self.nx, self.ny, self.nz = nx, ny, nz
-        # weights = (wz_e, wplane_e, wz_h, wplane_h); specs = (spec_e, spec_h)
-        self.wz_e, self.wplane_e, self.wz_h, self.wplane_h = weights
+        # weights = (wz_t, wplane_s): stacked per half for the fused pair
+        # kernel — wz_t (2, Zc, n_taps) transposed z-weights, wplane_s
+        # (2, n_taps, P).  specs = (spec_e, spec_h)
+        self.wz_t, self.wplane_s = weights
         self.spec_e, self.spec_h = specs
         self.spec = specs[0]  # geometry reference (zc/plane/tz shared)
         self.dtype_name = dtype_name
@@ -67,14 +72,17 @@ class PallasMaxwellOperator(LinearOperator):
         xc, yc = nx + 3, ny + 3
         plane = _round_up(yc * xc, 128)
         z_ext_max = nz + 1
-        zc = _round_up(tz + z_ext_max, tz) + tz  # all-pad first & last block
+        # Trimmed layout: interior at z-row Z_OFF with >=1 zero-weight row
+        # before/after (the pair kernel's clamped edge reads only ever
+        # multiply the zero weights at rows 0 / zc-1).
+        zc = _round_up(Z_OFF + z_ext_max + 1, tz)
 
         halves = {"e": {"wz": [], "wp": [], "taps": []},
                   "h": {"wz": [], "wp": [], "taps": []}}
         for (out_c, in_c, ax, off), (wz_l, wy_l, wx_l) in zip(descs, arrays):
             zlen, ylen, xlen = shapes[out_c]
             row_z = np.zeros(zc, np.dtype(dtype))
-            row_z[tz : tz + zlen] = wz_l
+            row_z[Z_OFF : Z_OFF + zlen] = wz_l
             wp = np.zeros((yc, xc))
             wp[1 : 1 + ylen, 1 : 1 + xlen] = np.outer(wy_l, wx_l)
             row_p = np.zeros(plane, np.dtype(dtype))
@@ -92,19 +100,31 @@ class PallasMaxwellOperator(LinearOperator):
             half["wp"].append(row_p)
             half["taps"].append((oc_local, ic_local, dz, roll))
 
+        # Builder invariant behind `paired=True`: the two taps of each
+        # curl block share their non-difference separable factors exactly.
+        for k in ("e", "h"):
+            tl, wzl, wpl = halves[k]["taps"], halves[k]["wz"], halves[k]["wp"]
+            for i in range(0, len(tl), 2):
+                assert tl[i][:2] == tl[i + 1][:2], "taps not block-paired"
+                if tl[i][2] != tl[i + 1][2]:  # z-pair: shared plane row
+                    assert np.array_equal(wpl[i], wpl[i + 1])
+                else:  # plane-pair: shared z row
+                    assert np.array_equal(wzl[i], wzl[i + 1])
         specs = tuple(
             StencilSpec(
                 n_in=3, n_out=3, taps=tuple(halves[k]["taps"]),
-                zc=zc, plane=plane, tz=tz,
+                zc=zc, plane=plane, tz=tz, paired=True,
             )
             for k in ("e", "h")
         )
-        weights = (
-            jnp.asarray(np.stack(halves["e"]["wz"])),
-            jnp.asarray(np.stack(halves["e"]["wp"])),
-            jnp.asarray(np.stack(halves["h"]["wz"])),
-            jnp.asarray(np.stack(halves["h"]["wp"])),
+        # (2, Zc, n_taps) / (2, n_taps, P) stacks for the fused pair kernel
+        wz_t = np.stack(
+            [np.stack(halves[k]["wz"]).T for k in ("e", "h")]
         )
+        wplane_s = np.stack(
+            [np.stack(halves[k]["wp"]) for k in ("e", "h")]
+        )
+        weights = (jnp.asarray(wz_t), jnp.asarray(wplane_s))
         return cls(nx, ny, nz, weights, specs, np.dtype(dtype).name)
 
     # -- LinearOperator interface ------------------------------------------
@@ -122,15 +142,24 @@ class PallasMaxwellOperator(LinearOperator):
         return (6, self.spec.zc, self.spec.plane)
 
     def mv(self, u: jax.Array) -> jax.Array:
-        ye = apply_stencil(u[3:], self.wz_e, self.wplane_e, self.spec_e)
-        yh = apply_stencil(u[:3], self.wz_h, self.wplane_h, self.spec_h)
-        return jnp.concatenate([ye, yh], axis=0)
+        return apply_stencil_pair(
+            u, self.wz_t, self.wplane_s, self.spec_e, self.spec_h
+        )
 
     def mm(self, U: jax.Array) -> jax.Array:
         # Block-major (p, 6, Zc, P); vmap adds p as a leading grid dim to
         # the Pallas call (measured ~25% faster than an unrolled
         # loop+stack: no re-stack pass).
         return jax.vmap(self.mv)(U)
+
+    def scaled(self, s) -> "PallasMaxwellOperator":
+        """Operator computing (s*A) @ u: folds a scalar prefactor (FDTD
+        dt, benchmark damping) into the z-weights so no separate XLA
+        scaling pass — a full extra read+write of the state — is spent."""
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self),
+            [self.wz_t * jnp.asarray(s, self.wz_t.dtype), self.wplane_s],
+        )
 
     # -- state packing ------------------------------------------------------
 
@@ -141,7 +170,6 @@ class PallasMaxwellOperator(LinearOperator):
         if b.ndim == 2:
             return jax.vmap(self.pack)(b)
         spec = self.spec
-        tz = spec.tz
         planes = []
         o = 0
         for (zl, yl, xl), sz in zip(self.comp_shapes, self.comp_sizes):
@@ -149,7 +177,7 @@ class PallasMaxwellOperator(LinearOperator):
             o += sz
             comp = jnp.pad(
                 comp,
-                ((tz, spec.zc - tz - zl), (1, self.yc - 1 - yl), (1, self.xc - 1 - xl)),
+                ((Z_OFF, spec.zc - Z_OFF - zl), (1, self.yc - 1 - yl), (1, self.xc - 1 - xl)),
             )
             comp = comp.reshape(spec.zc, self.yc * self.xc)
             comp = jnp.pad(comp, ((0, 0), (0, spec.plane - self.yc * self.xc)))
@@ -160,14 +188,13 @@ class PallasMaxwellOperator(LinearOperator):
         """Stacked state -> flat logical vector(s)."""
         if u.ndim == 4:
             return jax.vmap(self.unpack)(u)
-        tz = self.spec.tz
         parts = []
         for c, (zl, yl, xl) in enumerate(self.comp_shapes):
             comp = u[c, :, : self.yc * self.xc].reshape(
                 self.spec.zc, self.yc, self.xc
             )
             parts.append(
-                comp[tz : tz + zl, 1 : 1 + yl, 1 : 1 + xl].reshape(-1)
+                comp[Z_OFF : Z_OFF + zl, 1 : 1 + yl, 1 : 1 + xl].reshape(-1)
             )
         return jnp.concatenate(parts)
 
@@ -180,7 +207,7 @@ class PallasMaxwellOperator(LinearOperator):
                 zl, yl, xl = shape
                 z, r = divmod(lc, yl * xl)
                 y, x = divmod(r, xl)
-                return (c, self.spec.tz + z, (1 + y) * self.xc + (1 + x))
+                return (c, Z_OFF + z, (1 + y) * self.xc + (1 + x))
             lc -= sz
         raise IndexError("lc out of range")
 
@@ -192,7 +219,7 @@ class PallasMaxwellOperator(LinearOperator):
     # -- pytree -------------------------------------------------------------
 
     def tree_flatten(self):
-        return (self.wz_e, self.wplane_e, self.wz_h, self.wplane_h), (
+        return (self.wz_t, self.wplane_s), (
             self.nx, self.ny, self.nz, self.spec_e, self.spec_h,
             self.dtype_name,
         )

@@ -9,6 +9,7 @@ pipelines, lane rolls, and (8,128)-tiled layouts.
 from lanczos_tpu.ops.pallas.stencil_kernel import (
     StencilSpec,
     apply_stencil,
+    apply_stencil_pair,
 )
 
-__all__ = ["StencilSpec", "apply_stencil"]
+__all__ = ["StencilSpec", "apply_stencil", "apply_stencil_pair"]

@@ -60,6 +60,204 @@ class StencilSpec:
     zc: int  # z capacity (multiple of tz; first & last block all-pad)
     plane: int  # folded-plane capacity P (multiple of 128)
     tz: int = 8  # z rows per grid step (multiple of 8: f32 sublane tile)
+    # paired=True asserts taps come in adjacent 2-tuples per curl block
+    # sharing (out, in) with EQUAL shared separable factors: a z-pair
+    # (dz differs) shares its wplane row, a plane-pair (roll differs)
+    # shares its wz row — enabling the factored 3-multiply form.
+    paired: bool = False
+
+
+def apply_stencil_pair(
+    u: jax.Array,
+    wz_t: jax.Array,
+    wplane: jax.Array,
+    spec_a: StencilSpec,
+    spec_b: StencilSpec,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused two-half stencil: one `pallas_call` for a coupled pair of
+    3-component half-operators (the Maxwell curl pair: E rows read the H
+    fields, H rows read the E fields).
+
+    u: (6, Zc, P) stacked state; half h of the grid writes components
+    [3h, 3h+3) reading components [3(1-h), 3(1-h)+3).  wz_t: (2, Zc,
+    n_taps) z-weights (transposed, stacked per half); wplane: (2, n_taps,
+    P).  Returns (6, Zc, P).
+
+    Single-pass HBM traffic: unlike two `apply_stencil` calls on slices
+    (`u[3:]` / `u[:3]` materialize + concatenate of the halves + a full
+    neighbor-block second input stream ~ 3.5 passes over the state), this
+    reads the state ~(1 + 8*n_edges/(3*tz))x and writes it once.
+    z-shifted rows across a block boundary come from per-(component,
+    direction) 8-row "edge" operands — only the components a half
+    actually z-shifts, in the one direction it shifts them — so a larger
+    tz amortizes the edge traffic.
+
+    Both halves must have the same tap count and geometry (pad with
+    all-zero-weight taps if needed).  With `spec.paired` (see StencilSpec)
+    each adjacent tap pair is computed in the factored 3-multiply form
+    using its shared separable weight row.
+    """
+    tz, zc, plane = spec_a.tz, spec_a.zc, spec_a.plane
+    if (spec_b.tz, spec_b.zc, spec_b.plane) != (tz, zc, plane):
+        raise ValueError("halves must share tz/zc/plane geometry")
+    n_taps = len(spec_a.taps)
+    if len(spec_b.taps) != n_taps:
+        raise ValueError("halves must have equal tap counts")
+    if spec_a.n_in != 3 or spec_a.n_out != 3 or spec_b.n_in != 3 or spec_b.n_out != 3:
+        raise ValueError("pair kernel is specialized to 3-in/3-out halves")
+    if zc % tz or tz % 8:
+        raise ValueError("zc must be a multiple of tz, tz a multiple of 8")
+    nb = zc // tz
+    tb = tz // 8
+    nzb = zc // 8
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    # Cross-block (component, direction) pairs per half.  Edge operand j
+    # serves crossings[0][j] on half 0 and crossings[1][j] on half 1
+    # (shorter list padded by repetition).  Global component index of the
+    # INPUT half: half h reads components [3*(1-h), 3*(1-h)+3).
+    crossings = []
+    for hh, spec in ((0, spec_a), (1, spec_b)):
+        seen = []
+        for (_, ic, dz, _) in spec.taps:
+            if dz and (ic, dz) not in seen:
+                seen.append((ic, dz))
+        crossings.append(seen)
+    n_edges = max(len(crossings[0]), len(crossings[1]), 1)
+    slot_map = []  # per half: {(ic, dz): slot}
+    for hh in (0, 1):
+        cr = crossings[hh] or [(0, 1)]
+        cr = (cr * n_edges)[:n_edges]
+        slot_map.append({key: j for j, key in reversed(list(enumerate(cr)))})
+        crossings[hh] = cr
+
+    def edge_index_map(j):
+        (ca, dza) = crossings[0][j]
+        (cb, dzb) = crossings[1][j]
+        ca += 3  # half 0 reads global components 3..5
+        # 8-row block index of the needed row: (b+1)*tz for dz=+1 (its
+        # first row), b*tz-1 for dz=-1 (its last row).  Clamped at the
+        # ends — clamped garbage only ever multiplies the all-zero
+        # weights of the pad rows at z=0 / z=zc-1.
+        def za(b):
+            return (
+                jnp.minimum((b + 1) * tb, nzb - 1)
+                if dza == 1
+                else jnp.maximum(b * tb - 1, 0)
+            )
+
+        def zb(b):
+            return (
+                jnp.minimum((b + 1) * tb, nzb - 1)
+                if dzb == 1
+                else jnp.maximum(b * tb - 1, 0)
+            )
+
+        def im(h, b):
+            return (
+                jnp.where(h == 0, ca, cb),
+                jnp.where(h == 0, za(b), zb(b)),
+                0,
+            )
+
+        return im
+
+    in_specs = [
+        # current input block: the OPPOSITE half's components
+        pl.BlockSpec((3, tz, plane), lambda h, b: (1 - h, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tz, n_taps), lambda h, b: (h, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_taps, plane), lambda h, b: (h, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, 8, plane), edge_index_map(j),
+                     memory_space=pltpu.VMEM)
+        for j in range(n_edges)
+    ]
+
+    def kernel(cur_ref, wzb_ref, wp_ref, *rest):
+        edge_refs = rest[:-1]
+        out_ref = rest[-1]
+        h = pl.program_id(0)
+
+        def half_body(spec, slots):
+            taps = spec.taps
+
+            def shifted(ic, dz):
+                if dz == 0:
+                    return cur_ref[ic]
+                er = edge_refs[slots[(ic, dz)]]
+                if dz == 1:
+                    return jnp.concatenate(
+                        [cur_ref[ic, 1:, :], er[0, 0:1, :]], axis=0
+                    )
+                return jnp.concatenate(
+                    [er[0, 7:8, :], cur_ref[ic, : tz - 1, :]], axis=0
+                )
+
+            for oc in range(3):
+                idx = [t for t, tp in enumerate(taps) if tp[0] == oc]
+                acc = None
+                if spec.paired:
+                    for k in range(0, len(idx), 2):
+                        t0, t1 = idx[k], idx[k + 1]
+                        (_, ic0, dz0, r0) = taps[t0]
+                        (_, ic1, dz1, r1) = taps[t1]
+                        v0 = shifted(ic0, dz0)
+                        v1 = shifted(ic1, dz1)
+                        if r0:
+                            v0 = pltpu.roll(v0, r0, axis=1)
+                        if r1:
+                            v1 = pltpu.roll(v1, r1, axis=1)
+                        if dz0 != dz1:  # z-pair: shared wplane row
+                            s = (
+                                v0 * wzb_ref[0, :, t0 : t0 + 1]
+                                + v1 * wzb_ref[0, :, t1 : t1 + 1]
+                            )
+                            term = s * wp_ref[0, t0][None, :]
+                        else:  # plane-pair: shared wz row
+                            s = (
+                                v0 * wp_ref[0, t0][None, :]
+                                + v1 * wp_ref[0, t1][None, :]
+                            )
+                            term = s * wzb_ref[0, :, t0 : t0 + 1]
+                        acc = term if acc is None else acc + term
+                else:
+                    for t in idx:
+                        (_, ic, dz, roll) = taps[t]
+                        v = shifted(ic, dz)
+                        if roll:
+                            v = pltpu.roll(v, roll, axis=1)
+                        term = v * wp_ref[0, t][None, :]
+                        term = term * wzb_ref[0, :, t : t + 1]
+                        acc = term if acc is None else acc + term
+                out_ref[oc] = acc
+
+        @pl.when(h == 0)
+        def _():
+            half_body(spec_a, slot_map[0])
+
+        @pl.when(h == 1)
+        def _():
+            half_body(spec_b, slot_map[1])
+
+    operands = [u, wz_t, wplane] + [u] * n_edges
+    return pl.pallas_call(
+        kernel,
+        grid=(2, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (3, tz, plane), lambda h, b: (h, b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((6, zc, plane), u.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*operands)
 
 
 def apply_stencil(

@@ -58,15 +58,23 @@ def slope_time(op, x, k1: int = 2, k2: int = 12, trials: int = 3) -> float:
 
 
 def slope_time_chain(step, x, k1: int = 2, k2: int = 12, trials: int = 3,
-                     damp: float = 1e-2) -> float:
+                     damp: float | None = 1e-2) -> float:
     """Per-call seconds for a self-map y = step(y) (SpMV/SpMM-style),
-    chained directly: y_{k+1} = damp * step(y_k)."""
+    chained directly: y_{k+1} = damp * step(y_k).
+
+    damp=None chains raw (y = step(y)).  Prefer folding any anti-overflow
+    scaling INTO the measured operator (e.g. scale its weights once) and
+    passing damp=None: the `* damp` here is a separate XLA pass — a full
+    extra read+write of the state per step — which for a memory-bound op
+    roughly DOUBLES the apparent per-step time."""
+
+    def body(i, y):
+        y = step(y)
+        return y if damp is None else y * damp
 
     def make(k):
         return jax.jit(
-            lambda x: jnp.sum(
-                lax.fori_loop(0, k, lambda i, y: step(y) * damp, x)
-            )
+            lambda x: jnp.sum(lax.fori_loop(0, k, body, x))
         )
 
     fns = {k: make(k) for k in (k1, k2)}
