@@ -141,7 +141,8 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
     """Pallas Maxwell stencil SpMM (the TPU-native fast path)."""
     from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
 
-    op = PallasMaxwellOperator.create(n_grid, n_grid, n_grid, dtype=dtype)
+    op = PallasMaxwellOperator.create(n_grid, n_grid, n_grid, dtype=dtype, tz=16)
+    damped = op.scaled(1e-2)  # damping folded into weights: no extra pass
     rows = op.n
     out = []
     key = jax.random.PRNGKey(0)
@@ -149,8 +150,8 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
         x = op.pack(
             jax.random.normal(key, (rows,) if p == 1 else (p, rows), dtype)
         )
-        step = op.mv if p == 1 else op.mm
-        s = slope_time_chain(step, x)
+        step = damped.mv if p == 1 else damped.mm
+        s = slope_time_chain(step, x, damp=None)
         bs = jnp.dtype(dtype).itemsize
         nnz = 4 * rows  # logical ELL width 4
         bytes_moved = 2 * rows * max(p, 1) * bs  # read x + write y only

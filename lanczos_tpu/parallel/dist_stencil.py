@@ -34,7 +34,7 @@ from lanczos_tpu.models.maxwell import (
     maxwell_component_shapes,
 )
 from lanczos_tpu.ops.operator import LinearOperator
-from lanczos_tpu.ops.pallas import StencilSpec, apply_stencil
+from lanczos_tpu.ops.pallas import StencilSpec, apply_stencil_pair
 from lanczos_tpu.parallel.mesh import ROWS_AXIS
 
 
@@ -42,9 +42,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _local_mv(u_loc, wz_e, wp_e, wz_h, wp_h, spec_e, spec_h, tz, axis):
+def _local_mv(u_loc, wz_t, wp_s, spec_e, spec_h, tz, axis):
     """Per-shard body: halo exchange one z-plane each way, fill the pad
-    rows adjacent to the interior, run the two half-kernels."""
+    rows adjacent to the interior, run the fused pair kernel."""
     n_dev = jax.lax.axis_size(axis)
     zs = u_loc.shape[1]
     fwd = [(i, i + 1) for i in range(n_dev - 1)]
@@ -54,10 +54,8 @@ def _local_mv(u_loc, wz_e, wp_e, wz_h, wp_h, spec_e, spec_h, tz, axis):
     from_right = jax.lax.ppermute(u_loc[:, tz : tz + 1, :], axis, bwd)
     u_work = jax.lax.dynamic_update_slice(u_loc, from_left, (0, tz - 1, 0))
     u_work = jax.lax.dynamic_update_slice(u_work, from_right, (0, zs - tz, 0))
-    # sharded weights arrive as (1, n_taps, Zs) per shard
-    ye = apply_stencil(u_work[3:], wz_e[0], wp_e, spec_e)
-    yh = apply_stencil(u_work[:3], wz_h[0], wp_h, spec_h)
-    return jnp.concatenate([ye, yh], axis=0)
+    # sharded z-weights arrive as (1, 2, Zs, n_taps) per shard
+    return apply_stencil_pair(u_work, wz_t[0], wp_s, spec_e, spec_h)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -66,8 +64,9 @@ class DistributedPallasMaxwell(LinearOperator):
 
     def __init__(self, nx, ny, nz, weights, specs, mesh, zl, dtype_name):
         self.nx, self.ny, self.nz = nx, ny, nz
-        # weights = (wz_e, wp_e, wz_h, wp_h); wz_* are (n_dev, n_taps, Zs)
-        self.wz_e, self.wplane_e, self.wz_h, self.wplane_h = weights
+        # weights = (wz_t, wp_s): wz_t (n_dev, 2, Zs, n_taps) row-sharded
+        # per-shard z weights; wp_s (2, n_taps, P) replicated.
+        self.wz_t, self.wplane_s = weights
         self.spec_e, self.spec_h = specs
         self.mesh = mesh
         self.zl = zl  # interior z rows per shard
@@ -124,22 +123,26 @@ class DistributedPallasMaxwell(LinearOperator):
         specs = tuple(
             StencilSpec(
                 n_in=3, n_out=3, taps=tuple(halves[k]["taps"]),
-                zc=zs, plane=plane, tz=tz,
+                zc=zs, plane=plane, tz=tz, paired=True,
             )
             for k in ("e", "h")
         )
         axis = ROWS_AXIS
-        sh_w = NamedSharding(mesh, P(axis, None, None))
-        sh_r = NamedSharding(mesh, P())
+        # wz_t: (n_dev, 2, Zs, n_taps) — per-shard stacked transposed z
+        # weights; wp_s: (2, n_taps, P) replicated.
+        wz_t = np.stack(
+            [
+                np.stack(halves[k]["wz"], axis=1).transpose(0, 2, 1)
+                for k in ("e", "h")
+            ],
+            axis=1,
+        )
+        wp_s = np.stack([np.stack(halves[k]["wp"]) for k in ("e", "h")])
         weights = (
             jax.device_put(
-                jnp.asarray(np.stack(halves["e"]["wz"], axis=1)), sh_w
+                jnp.asarray(wz_t), NamedSharding(mesh, P(axis, None, None, None))
             ),
-            jax.device_put(jnp.asarray(np.stack(halves["e"]["wp"])), sh_r),
-            jax.device_put(
-                jnp.asarray(np.stack(halves["h"]["wz"], axis=1)), sh_w
-            ),
-            jax.device_put(jnp.asarray(np.stack(halves["h"]["wp"])), sh_r),
+            jax.device_put(jnp.asarray(wp_s), NamedSharding(mesh, P())),
         )
         return cls(nx, ny, nz, weights, specs, mesh, zl, np.dtype(dtype).name)
 
@@ -181,8 +184,7 @@ class DistributedPallasMaxwell(LinearOperator):
             mesh=self.mesh,
             in_specs=(
                 spec_u,
-                P(self.axis, None, None), P(),
-                P(self.axis, None, None), P(),
+                P(self.axis, None, None, None), P(),
             ),
             out_specs=spec_u,
             # pallas_call outputs carry no varying-mesh-axes annotation
@@ -190,13 +192,17 @@ class DistributedPallasMaxwell(LinearOperator):
         )
 
     def mv(self, u: jax.Array) -> jax.Array:
-        return self._mapped(False)(
-            u, self.wz_e, self.wplane_e, self.wz_h, self.wplane_h
-        )
+        return self._mapped(False)(u, self.wz_t, self.wplane_s)
 
     def mm(self, U: jax.Array) -> jax.Array:
-        return self._mapped(True)(
-            U, self.wz_e, self.wplane_e, self.wz_h, self.wplane_h
+        return self._mapped(True)(U, self.wz_t, self.wplane_s)
+
+    def scaled(self, s) -> "DistributedPallasMaxwell":
+        """Operator computing (s*A) @ u — scalar prefactors (FDTD dt,
+        bench damping) folded into the z-weights for free."""
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self),
+            [self.wz_t * jnp.asarray(s, self.wz_t.dtype), self.wplane_s],
         )
 
     # -- state packing ------------------------------------------------------
@@ -269,7 +275,7 @@ class DistributedPallasMaxwell(LinearOperator):
     # -- pytree -------------------------------------------------------------
 
     def tree_flatten(self):
-        return (self.wz_e, self.wplane_e, self.wz_h, self.wplane_h), (
+        return (self.wz_t, self.wplane_s), (
             self.nx, self.ny, self.nz, self.spec_e, self.spec_h,
             self.mesh, self.zl, self.dtype_name,
         )
