@@ -1,0 +1,196 @@
+"""Benchmark analysis plots — the TPU analogue of the reference's MATLAB
+plot script (`source/lanczos_plots.m`, SURVEY.md §2 #26).
+
+Reproduces the reference's six plot cells with OUR measurements overlaid
+on the reference's published Tesla-T4 numbers (hard-coded below from
+BASELINE.md, which transcribes `lanczos_plots.m`):
+
+  1. mm_ts  tall x small GEMM GB/s vs N_COL
+  2. mm_tt  Gram product GB/s and GFLOPS vs N_COL
+  3. mm_tt2 symmetrized cross-Gram GB/s vs N_COL
+  4. spmm   sparse x dense GFLOPS vs N_COL
+  5. sqrtm  small-matrix sqrt time vs N_COL
+  6. block-Lanczos per-iteration time vs problem size + convergence curve
+
+Inputs: `kernel_bench.py --json` output and `sweep_lanczos.py --csv`
+output (all optional — panels without data are skipped).
+
+Usage:
+    python benchmarks/kernel_bench.py --json benchmarks/results/kernels.json
+    python benchmarks/sweep_lanczos.py --block --csv benchmarks/results/file_BL.csv
+    python benchmarks/plots.py --out benchmarks/results
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+
+# Two-series categorical pair (Okabe-Ito blue / vermillion: the published
+# colorblind-safe pair), fixed order: ours first, reference second.
+C_OURS = "#0072B2"
+C_REF = "#D55E00"
+C_REF2 = "#555555"
+
+NCOLS = [2, 4, 6, 8, 10, 12, 14, 16, 18]
+
+# Reference (Tesla T4) measurements from lanczos_plots.m via BASELINE.md.
+REF = {
+    "mm_ts_gbps": [238.5, 235.5, 231.2, 229.6, 225.4, 229.5, 226.0, 225.7, 224.6],
+    "mm_ts_cublas_gbps": [170.3, 175.9, 147.1, 165.0, 158.0, 185.8, 209.9, 240.6, 222.2],
+    "mm_tt_gbps": [533.4, 538.5, 533.9, 530.2, 491.2, 490.5, 429.9, 369.0, 346.8],
+    "mm_tt_gflops": [266.7, 538.5, 800.9, 1060.4, 1228.1, 1471.6, 1504.7, 1476.2, 1560.7],
+    "mm_tt_cublas_gbps": [29.6, 57.1, 82.4, 105.8, 125.3, 145.4, 164.0, 182.3, 198.4],
+    "mm_tt2_gbps": [542.8, 533.1, 520.5, 525.6, 512.7, 498.0, 420.1, 391.4, 354.4],
+    "mm_tt2_cublas_gbps": [28.8, 54.2, 76.8, 96.8, 114.1, 114.0, 142.9, 153.5, 161.3],
+    "spmm_gflops": [88.1, 128.6, 150.4, 163.8, 173.4, 180.5, 185.6, 190.0, 193.6],
+    "sqrtm_s": [3.88e-6, 1.27e-5, 2.38e-5, 4.11e-5, 5.37e-5, 6.29e-5, 7.59e-5, 1.16e-4, 1.31e-4],
+    "sqrtm_cusolver_s": [2.52e-5, 2.18e-5, 2.23e-5, 2.29e-5, 2.99e-5, 3.94e-5, 6.18e-5, 7.66e-5, 8.43e-5],
+    "block_iter_s": [0.0286, 0.0525, 0.0800, 0.1094, 0.1221, 0.1421, 0.1658, 0.1980, 0.2547],
+    # convergence oracle, problem size 252, m = 1..12 (lanczos_plots.m:168)
+    "conv_relerr": [5.53e-2, 7.69e-4, 1.53e-4, 6.65e-7, 3.88e-7, 1.05e-9,
+                    2.86e-9, 1.84e-9, 1.83e-9, 1.83e-9, 1.83e-9, 1.83e-9],
+}
+
+
+def _style(ax, title, xlabel, ylabel):
+    ax.set_title(title, fontsize=11)
+    ax.set_xlabel(xlabel, fontsize=9)
+    ax.set_ylabel(ylabel, fontsize=9)
+    ax.grid(True, color="#e0e0e0", linewidth=0.6, zorder=0)
+    ax.spines[["top", "right"]].set_visible(False)
+    ax.tick_params(labelsize=8)
+
+
+def _save(fig, out, name):
+    path = os.path.join(out, name)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    print(f"wrote {path}")
+
+
+def _series(kern, bench, key):
+    rows = kern.get(bench, [])
+    xs = [r["n_col"] for r in rows if r["n_col"] in NCOLS]
+    ys = [r[key] for r in rows if r["n_col"] in NCOLS]
+    return xs, ys
+
+
+def plot_kernel(kern, out, bench, key, ref_keys, ylabel, logy=False):
+    fig, ax = plt.subplots(figsize=(5.2, 3.4))
+    xs, ys = _series(kern, bench, key)
+    if xs:
+        ax.plot(xs, ys, color=C_OURS, lw=2, marker="o", ms=5,
+                label="this work (TPU v5e)", zorder=3)
+    for (rk, lbl, col) in ref_keys:
+        ax.plot(NCOLS, REF[rk], color=col, lw=2, marker="s", ms=4,
+                label=lbl, zorder=2)
+    if logy:
+        ax.set_yscale("log")
+    _style(ax, bench, "block width N_COL", ylabel)
+    ax.legend(fontsize=8, frameon=False)
+    _save(fig, out, f"{bench}.png")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kernel-json", default="benchmarks/results/kernels.json")
+    ap.add_argument("--block-csv", default="benchmarks/results/file_BL.csv")
+    ap.add_argument("--vector-csv", default="benchmarks/results/file_VL.csv")
+    ap.add_argument("--conv-csv", default="benchmarks/results/convergence.csv",
+                    help="CSV with columns m,rel_error (our convergence run)")
+    ap.add_argument("--out", default="benchmarks/results")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    kern = {}
+    if os.path.exists(args.kernel_json):
+        with open(args.kernel_json) as f:
+            kern = json.load(f)
+
+    # 1-4: per-kernel sweeps vs reference
+    plot_kernel(kern, args.out, "mm_ts", "gbps",
+                [("mm_ts_gbps", "T4 custom kernel", C_REF),
+                 ("mm_ts_cublas_gbps", "T4 cuBLAS", C_REF2)],
+                "effective GB/s (reference byte model)")
+    plot_kernel(kern, args.out, "mm_tt", "gbps",
+                [("mm_tt_gbps", "T4 custom kernel", C_REF),
+                 ("mm_tt_cublas_gbps", "T4 cuBLAS", C_REF2)],
+                "effective GB/s (reference byte model)")
+    plot_kernel(kern, args.out, "mm_tt2", "gbps",
+                [("mm_tt2_gbps", "T4 custom kernel", C_REF),
+                 ("mm_tt2_cublas_gbps", "T4 cuBLAS", C_REF2)],
+                "effective GB/s (reference byte model)")
+    plot_kernel(kern, args.out, "spmm_ell", "gflops",
+                [("spmm_gflops", "T4 ell::SpMM", C_REF)], "GFLOPS")
+    plot_kernel(kern, args.out, "sqrtm", "seconds",
+                [("sqrtm_s", "T4 warp kernel", C_REF),
+                 ("sqrtm_cusolver_s", "T4 syevjBatched", C_REF2)],
+                "seconds per sqrtm+inv", logy=True)
+
+    # Pallas stencil SpMM (no direct N_COL sweep in the reference — plot
+    # our nnz/s vs block columns with the T4 N_COL=4 SpMM rate as a line)
+    if kern.get("spmm_stencil"):
+        rows = kern["spmm_stencil"]
+        fig, ax = plt.subplots(figsize=(5.2, 3.4))
+        ax.plot([r["n_col"] for r in rows],
+                [r["nnz_per_s"] / 1e9 for r in rows],
+                color=C_OURS, lw=2, marker="o", ms=5,
+                label="Pallas stencil (TPU v5e)", zorder=3)
+        t4 = 4 * 24.6e6 * 4 / 6.17e-3 / 1e9
+        ax.axhline(t4, color=C_REF, lw=2, ls="--",
+                   label="T4 ell::SpMM, N_COL=4", zorder=2)
+        _style(ax, "spmm_stencil", "block columns p",
+               "Gnnz/s x block columns")
+        ax.legend(fontsize=8, frameon=False)
+        _save(fig, args.out, "spmm_stencil.png")
+
+    # 6a: block-Lanczos per-iteration time vs problem size
+    if os.path.exists(args.block_csv):
+        with open(args.block_csv) as f:
+            rows = list(csv.DictReader(f))
+        fig, ax = plt.subplots(figsize=(5.2, 3.4))
+        ax.plot([int(r["n"]) for r in rows],
+                [float(r["seconds_per_iter"]) for r in rows],
+                color=C_OURS, lw=2, marker="o", ms=5,
+                label=f"this work, p={rows[0]['p']}", zorder=3)
+        # reference: m=2 iteration PAIR time at ~24.6M rows, N_COL=4
+        ax.plot([24.6e6], [REF["block_iter_s"][1] / 2], color=C_REF,
+                marker="s", ms=7, ls="none",
+                label="T4, N_COL=4 (per iteration)", zorder=2)
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+        _style(ax, "block Lanczos per-iteration time", "problem size n",
+               "seconds / iteration")
+        ax.legend(fontsize=8, frameon=False)
+        _save(fig, args.out, "block_iteration.png")
+
+    # 6b: convergence (ours from --conv-csv, reference curve always shown)
+    fig, ax = plt.subplots(figsize=(5.2, 3.4))
+    ms = list(range(1, 13))
+    ax.plot(ms, REF["conv_relerr"], color=C_REF, lw=2, marker="s", ms=4,
+            label="reference (T4, n=252)", zorder=2)
+    if args.conv_csv and os.path.exists(args.conv_csv):
+        with open(args.conv_csv) as f:
+            rows = list(csv.DictReader(f))
+        ax.plot([int(r["m"]) for r in rows],
+                [float(r["rel_error"]) for r in rows],
+                color=C_OURS, lw=2, marker="o", ms=5,
+                label="this work", zorder=3)
+    ax.set_yscale("log")
+    _style(ax, "Lanczos-expm vs FDTD convergence", "iterations m",
+           "relative error")
+    ax.legend(fontsize=8, frameon=False)
+    _save(fig, args.out, "convergence.png")
+
+
+if __name__ == "__main__":
+    main()

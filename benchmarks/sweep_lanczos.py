@@ -1,0 +1,153 @@
+"""Whole-algorithm sweep driver — the TPU analogue of the reference's
+`tensor_core_unfinished_work/measure_lanczos.cu` (SURVEY.md §2 #24).
+
+Sweeps the Maxwell problem size N (geometric, x1.1 like the reference's
+`measure_lanczos.cu:329-334`), times the FULL (block-)Lanczos run at two
+iteration counts m1 < m2, and reports the per-iteration time as the
+slope (t(m2) - t(m1)) / (m2 - m1) — the same dispatch-latency-free
+protocol the kernel benches use, applied at algorithm level.  Each row
+also carries the reference's analytic per-iteration byte/flop roofline
+model (`measure_lanczos.cu:268-300`) evaluated for our sizes, so GB/s
+and GFLOPS columns are comparable with BASELINE.md's tables.
+
+Writes CSV (the analogue of the reference's `file_VL.csv`/`file_BL.csv`)
+with columns:
+    n, n_grid, p, m1, m2, seconds_per_iter, gbps_model, gflops_model
+
+Usage:
+    python benchmarks/sweep_lanczos.py --block --n-col 4 --csv file_BL.csv
+    python benchmarks/sweep_lanczos.py --vector --csv file_VL.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_once(fn, *args, trials: int = 3) -> float:
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+            out,
+        )
+        # force a real sync: fetch one scalar (block_until_ready on the
+        # tunneled backend does not wait for execution)
+        leaves = jax.tree_util.tree_leaves(out)
+        float(jnp.sum(leaves[0]))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def iteration_model(n: int, p: int, width: int = 4, itemsize: int = 4):
+    """Analytic per-iteration byte/flop counts of one block-Lanczos
+    iteration, following the reference's accounting
+    (`measure_lanczos.cu:268-300`): spmm (ELL data+idx+vectors), the two
+    Gram products, the two tall x small updates, and the basis copy.
+    For p == 1 this reduces to the vector-Lanczos model (:101-127)."""
+    nv = n * itemsize  # one n-vector
+    spmm_bytes = n * width * (itemsize + 4) + 2 * p * nv
+    gram_bytes = 2 * (2 * p * nv)  # mm_tt + mm_tt2 (T read twice, ref model)
+    ts_bytes = 3 * (3 * p * nv)  # Q1=W*inv, W-=Q0 b, W-=Q1 a (r,r,w)
+    flops = 2.0 * n * width * p + 12.0 * n * p * p
+    return spmm_bytes + gram_bytes + ts_bytes, flops
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    g = ap.add_mutually_exclusive_group()
+    g.add_argument("--block", action="store_true", default=True)
+    g.add_argument("--vector", dest="block", action="store_false")
+    ap.add_argument("--n-col", type=int, default=4)
+    ap.add_argument("--n-min", type=int, default=10)
+    ap.add_argument("--n-max", type=int, default=None,
+                    help="max grid size (default: 200 on TPU, 16 on CPU)")
+    ap.add_argument("--factor", type=float, default=1.1)
+    ap.add_argument("--m1", type=int, default=2)
+    ap.add_argument("--m2", type=int, default=12)
+    ap.add_argument("--reorth", default="none")
+    ap.add_argument("--operator", default="pallas", choices=["pallas", "stencil"])
+    ap.add_argument("--csv", type=str, default=None)
+    args = ap.parse_args()
+
+    on_cpu = jax.devices()[0].platform == "cpu"
+    n_max = args.n_max if args.n_max is not None else (16 if on_cpu else 200)
+
+    from lanczos_tpu.methods.block_lanczos import block_lanczos
+    from lanczos_tpu.methods.vector_lanczos import vector_lanczos
+    from lanczos_tpu.models.maxwell import MaxwellOperator
+    from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
+    from lanczos_tpu.models.rhs import gaussian_matrix_B, gaussian_vector_b
+
+    # geometric sweep of grid sizes, deduplicated
+    sizes = []
+    x = float(args.n_min)
+    while round(x) <= n_max:
+        if not sizes or round(x) != sizes[-1]:
+            sizes.append(int(round(x)))
+        x *= args.factor
+
+    rows = []
+    p = args.n_col if args.block else 1
+    for N in sizes:
+        if args.operator == "pallas" and not on_cpu:
+            op = PallasMaxwellOperator.create(N, N, N, tz=16)
+            pack, trace_fn = op.pack, op.trace_fn(0)
+        elif args.operator == "pallas":
+            op = PallasMaxwellOperator.create(N, N, N)
+            pack, trace_fn = op.pack, op.trace_fn(0)
+        else:
+            op = MaxwellOperator.create(N, N, N)
+            pack, trace_fn = (lambda x: x), None
+
+        n = op.n
+        if args.block:
+            b = pack(jnp.asarray(np.asarray(
+                gaussian_matrix_B(N, n, p), np.float32)))
+            run = lambda m: block_lanczos(
+                op, b, m, reorth=args.reorth, trace_fn=trace_fn)
+        else:
+            b = pack(jnp.asarray(np.asarray(
+                gaussian_vector_b(N, n), np.float32)))
+            run = lambda m: vector_lanczos(
+                op, b, m, reorth=args.reorth, trace_fn=trace_fn)
+
+        times = {}
+        for m in (args.m1, args.m2):
+            run(m)  # compile + warm
+            times[m] = _time_once(run, m)
+        sec = max((times[args.m2] - times[args.m1]) / (args.m2 - args.m1),
+                  1e-9)
+        bts, fl = iteration_model(n, p)
+        row = {
+            "n": n, "n_grid": N, "p": p, "m1": args.m1, "m2": args.m2,
+            "seconds_per_iter": sec,
+            "gbps_model": bts / sec / 1e9,
+            "gflops_model": fl / sec / 1e9,
+        }
+        rows.append(row)
+        print("  ".join(
+            f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in row.items()), flush=True)
+
+    if args.csv:
+        with open(args.csv, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}")
+
+
+if __name__ == "__main__":
+    main()
