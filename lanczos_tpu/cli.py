@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["stencil", "pallas", "ell"])
     ap.add_argument("--devices", type=int, default=1)
     ap.add_argument("--no-validate", dest="validate", action="store_false")
+    ap.add_argument(
+        "--profile", dest="profile_dir", metavar="DIR", default=None,
+        help="capture a jax.profiler trace of the Lanczos run into DIR "
+        "(view with TensorBoard / xprof; the TPU-native replacement for "
+        "the reference's steady_clock brackets)",
+    )
     return ap
 
 
@@ -57,6 +63,7 @@ def config_from_args(args) -> LanczosConfig:
         lc=args.lc, seed=args.seed, dtype=args.dtype, reorth=args.reorth,
         eig_backend=args.eig_backend, operator=args.operator,
         devices=args.devices, validate=args.validate,
+        profile_dir=args.profile_dir,
     )
 
 
@@ -110,7 +117,16 @@ def run(cfg: LanczosConfig) -> dict:
     out = {"n": n, "lc": lc, "m": cfg.m, "block": cfg.block,
            "operator": cfg.operator}
 
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(cfg.profile_dir)
+        if cfg.profile_dir
+        else contextlib.nullcontext()
+    )
+
     t0 = time.perf_counter()
+    profile_ctx.__enter__()
     if cfg.block:
         b_np = np.asarray(
             gaussian_matrix_B(n_grid, n, cfg.n_col), np.dtype(cfg.dtype)
@@ -138,7 +154,10 @@ def run(cfg: LanczosConfig) -> dict:
         else:
             sol = lanczos_expm_action(op, b, cfg.m, cfg.t_end, lc, reorth=reorth)
         sol = float(jax.block_until_ready(sol))
+    profile_ctx.__exit__(None, None, None)
     out["lanczos_seconds"] = time.perf_counter() - t0
+    if cfg.profile_dir:
+        out["profile_dir"] = cfg.profile_dir
     out["solution"] = np.asarray(sol).tolist()
 
     if cfg.validate:

@@ -34,3 +34,4 @@ class LanczosConfig:
     operator: str = "stencil"  # stencil | pallas | ell
     devices: int = 1           # >1: z-sharded distributed Pallas operator
     validate: bool = True      # run the FDTD oracle comparison
+    profile_dir: str | None = None  # capture a jax.profiler trace here
