@@ -104,6 +104,35 @@ class EllMatrix(LinearOperator):
         dense = dense.at[rows, self.indices].add(self.data)
         return dense[:n]
 
+    # -- diagonal helpers (reference `Ell_matrix::diag_inv/diag_sqrt/
+    # mult_diagonal`, `ell_matrix.hpp:302-361` / kernels `lm`) ------------
+
+    def mult_diagonal(self, w: jax.Array) -> "EllMatrix":
+        """A @ diag(w): scale column j by w[j] — the reference's
+        symmetrization step A = D * W (`test_lanczos.cu:191`).  One
+        gather + multiply on the data plane; indices unchanged."""
+        return EllMatrix(
+            self.data * jnp.take(w, self.indices, axis=0),
+            self.indices, self.n_rows_true, self.n_cols_true,
+        )
+
+    def diagonal(self) -> jax.Array:
+        """Main-diagonal entries (summing duplicates on the diagonal)."""
+        rows = jnp.arange(self.padded_rows)[:, None]
+        on_diag = (self.indices == rows) & (rows < self.n_rows_true)
+        return jnp.sum(jnp.where(on_diag, self.data, 0), axis=1)[
+            : self.n_rows_true
+        ]
+
+    def diag_inv(self) -> jax.Array:
+        """1/diag (reference `lm::diag_inv`, zeros stay zero)."""
+        d = self.diagonal()
+        return jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1.0), 0.0)
+
+    def diag_sqrt(self) -> jax.Array:
+        """sqrt(diag) (reference `lm::diag_sqrt`)."""
+        return jnp.sqrt(self.diagonal())
+
     def tree_flatten(self):
         return (self.data, self.indices), (self.n_rows_true, self.n_cols_true)
 

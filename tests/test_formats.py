@@ -86,3 +86,28 @@ def test_ell_row_padding_is_harmless(rng):
     assert mat.padded_rows == 32
     x = rng.standard_normal(25)
     np.testing.assert_allclose(np.asarray(mat.mv(jnp.asarray(x))), a @ x, atol=1e-12)
+
+
+def test_ell_diagonal_helpers(rng):
+    """EllMatrix.mult_diagonal / diagonal / diag_inv / diag_sqrt match the
+    scipy dense equivalents (reference `ell_matrix.hpp:302-361`)."""
+    import scipy.sparse as sp
+
+    from lanczos_tpu.ops.formats import ell_from_scipy
+
+    n = 37
+    a = sp.random(n, n, density=0.15, random_state=7, format="csr")
+    a = a + sp.eye(n) * 2.0  # ensure a nonzero diagonal
+    ell = ell_from_scipy(a)
+    w = rng.random(n).astype(np.float32) + 0.5
+
+    got = np.asarray(ell.mult_diagonal(jnp.asarray(w)).to_dense())
+    want = (a @ sp.diags(w)).toarray()
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-6)
+
+    d = a.diagonal()
+    np.testing.assert_allclose(np.asarray(ell.diagonal()), d, rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(ell.diag_inv()), 1.0 / d, rtol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(ell.diag_sqrt()), np.sqrt(d), rtol=2e-6
+    )
