@@ -6,8 +6,16 @@ from lanczos_tpu.methods.expm_action import (
     block_lanczos_expm_action,
 )
 from lanczos_tpu.methods.eigs import lanczos_eigsh, block_lanczos_eigsh
+from lanczos_tpu.methods.checkpoint import (
+    vector_lanczos_checkpointed,
+    block_lanczos_checkpointed,
+    fdtd_checkpointed,
+)
 
 __all__ = [
+    "vector_lanczos_checkpointed",
+    "block_lanczos_checkpointed",
+    "fdtd_checkpointed",
     "vector_lanczos",
     "VectorLanczosResult",
     "block_lanczos",

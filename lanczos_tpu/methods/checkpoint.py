@@ -152,6 +152,142 @@ def vector_lanczos_checkpointed(
     )
 
 
+@dataclasses.dataclass
+class BlockLanczosCheckpoint:
+    """Exact state of a paused block-Lanczos run (reorth='none')."""
+
+    j: int
+    m: int
+    alphas: np.ndarray  # (m, p, p)
+    betas: np.ndarray  # (m, p, p)
+    trace: np.ndarray  # (m, p)
+    q_prev: np.ndarray  # (p, *state)
+    w: np.ndarray  # (p, *state)
+
+    def save(self, path: str) -> None:
+        d = dataclasses.asdict(self)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
+        os.close(fd)
+        np.savez(tmp, **d)
+        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "BlockLanczosCheckpoint":
+        z = np.load(path)
+        return cls(
+            j=int(z["j"]), m=int(z["m"]), alphas=z["alphas"],
+            betas=z["betas"], trace=z["trace"], q_prev=z["q_prev"], w=z["w"],
+        )
+
+
+def _block_chunk_steps(a, q_prev, w, lc_idx, trace_fn, eig_sweeps, n_steps):
+    """n_steps bare block three-term iterations from (q_prev, w)."""
+    from lanczos_tpu.methods.block_lanczos import _gram, _mix, _sym
+    from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
+
+    p = q_prev.shape[0]
+    if trace_fn is None:
+        def trace_at(q):
+            return jax.lax.dynamic_index_in_dim(
+                q.reshape(p, -1), lc_idx, axis=1, keepdims=False
+            )
+    else:
+        trace_at = trace_fn
+
+    def body(carry, _):
+        q_prev, wv = carry
+        beta, inv = sqrtm_invsqrtm(_gram(wv, wv), sweeps=eig_sweeps)
+        q = _mix(inv, wv)
+        wn = a.mm(q) - _mix(beta, q_prev)
+        alpha = _sym(_gram(wn, q))
+        wn = wn - _mix(alpha, q)
+        return (q, wn), (alpha, beta, trace_at(q))
+
+    (q, wn), (al, be, tr) = jax.lax.scan(
+        body, (q_prev, w), None, length=n_steps
+    )
+    return q, wn, al, be, tr
+
+
+_block_chunk_steps_jit = jax.jit(
+    _block_chunk_steps, static_argnames=("n_steps", "trace_fn", "eig_sweeps")
+)
+
+
+def block_lanczos_checkpointed(
+    a,
+    b: jax.Array,
+    m: int,
+    lc=None,
+    *,
+    chunk: int = 64,
+    path: str | None = None,
+    resume: bool = True,
+    trace_fn=None,
+    eig_sweeps: int = 10,
+):
+    """m-step block Lanczos in restartable chunks; matches
+    `block_lanczos(..., reorth='none')` exactly.  b is BLOCK-MAJOR
+    (p, *state).  Returns a BlockLanczosResult (basis=None)."""
+    from lanczos_tpu.methods.block_lanczos import (
+        BlockLanczosResult,
+        _gram,
+        _mix,
+        _sym,
+    )
+    from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
+
+    p = b.shape[0]
+    lc_idx = jnp.asarray(0 if lc is None else lc, jnp.int32)
+
+    if path and resume and os.path.exists(path):
+        ck = BlockLanczosCheckpoint.load(path)
+        assert ck.m == m, "checkpoint was for a different m"
+        j = ck.j
+        alphas, betas, trace = ck.alphas.copy(), ck.betas.copy(), ck.trace.copy()
+        q_prev, w = jnp.asarray(ck.q_prev), jnp.asarray(ck.w)
+    else:
+        beta0, inv0 = sqrtm_invsqrtm(_gram(b, b), sweeps=eig_sweeps)
+        q0 = _mix(inv0, b)
+        w = a.mm(q0)
+        alpha0 = _sym(_gram(w, q0))
+        w = w - _mix(alpha0, q0)
+        dt = np.dtype(b.dtype)
+        alphas = np.zeros((m, p, p), dt)
+        betas = np.zeros((m, p, p), dt)
+        trace = np.zeros((m, p), dt)
+        alphas[0] = np.asarray(alpha0)
+        betas[0] = np.asarray(beta0)
+        if trace_fn is not None:
+            trace[0] = np.asarray(trace_fn(q0))
+        else:
+            trace[0] = np.asarray(q0.reshape(p, -1)[:, int(lc_idx)])
+        q_prev = q0
+        j = 1
+
+    while j < m:
+        k = min(chunk, m - j)
+        q_prev, w, al, be, tr = _block_chunk_steps_jit(
+            a, q_prev, w, lc_idx, trace_fn, eig_sweeps, k
+        )
+        alphas[j : j + k] = np.asarray(al)
+        betas[j : j + k] = np.asarray(be)
+        trace[j : j + k] = np.asarray(tr)
+        j += k
+        if path:
+            BlockLanczosCheckpoint(
+                j=j, m=m, alphas=alphas, betas=betas, trace=trace,
+                q_prev=np.asarray(q_prev), w=np.asarray(w),
+            ).save(path)
+
+    return BlockLanczosResult(
+        alphas=jnp.asarray(alphas),
+        betas=jnp.asarray(betas),
+        trace=jnp.asarray(trace),
+        basis=None,
+    )
+
+
 def fdtd_checkpointed(
     a,
     u0: jax.Array,

@@ -27,31 +27,27 @@ def slope_time(op, x, k1: int = 2, k2: int = 12, trials: int = 3) -> float:
     """Per-call seconds of `op(x)`; x is the large operand, re-fed with a
     one-element perturbation each iteration."""
 
-    def make(k):
-        def body(i, carry):
-            t, acc = carry
-            r = op(t)
-            acc = acc + jnp.sum(r) * 1e-30
-            # cheap one-element dependency: defeats loop-invariant hoisting
-            upd = (t.reshape(-1)[0] + acc).astype(t.dtype)
-            flat = t.reshape(-1).at[0].set(upd)
-            return flat.reshape(t.shape), acc
+    def body(i, carry):
+        t, acc = carry
+        r = op(t)
+        acc = acc + jnp.sum(r) * 1e-30
+        # cheap one-element dependency: defeats loop-invariant hoisting
+        upd = (t.reshape(-1)[0] + acc).astype(t.dtype)
+        flat = t.reshape(-1).at[0].set(upd)
+        return flat.reshape(t.shape), acc
 
-        def fn(t):
-            _, acc = lax.fori_loop(0, k, body, (t, jnp.float32(0.0)))
-            return acc
+    @jax.jit  # k is a traced loop bound: ONE compile serves both lengths
+    def fn(t, k):
+        _, acc = lax.fori_loop(0, k, body, (t, jnp.float32(0.0)))
+        return acc
 
-        return jax.jit(fn)
-
-    fns = {k: make(k) for k in (k1, k2)}
-    for f in fns.values():
-        float(f(x))  # compile + warm
+    float(fn(x, k1))  # compile + warm
     best = {}
-    for k, f in fns.items():
+    for k in (k1, k2):
         b = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(f(x))
+            float(fn(x, k))
             b = min(b, time.perf_counter() - t0)
         best[k] = b
     return max((best[k2] - best[k1]) / (k2 - k1), 1e-9)
@@ -72,20 +68,17 @@ def slope_time_chain(step, x, k1: int = 2, k2: int = 12, trials: int = 3,
         y = step(y)
         return y if damp is None else y * damp
 
-    def make(k):
-        return jax.jit(
-            lambda x: jnp.sum(lax.fori_loop(0, k, body, x))
-        )
+    @jax.jit  # k is a traced loop bound: ONE compile serves both lengths
+    def fn(x, k):
+        return jnp.sum(lax.fori_loop(0, k, body, x))
 
-    fns = {k: make(k) for k in (k1, k2)}
-    for f in fns.values():
-        float(f(x))
+    float(fn(x, k1))  # compile + warm
     best = {}
-    for k, f in fns.items():
+    for k in (k1, k2):
         b = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(f(x))
+            float(fn(x, k))
             b = min(b, time.perf_counter() - t0)
         best[k] = b
     return max((best[k2] - best[k1]) / (k2 - k1), 1e-9)

@@ -75,3 +75,46 @@ def test_fdtd_checkpointed(rng, tmp_path):
     # resume from the finished checkpoint is a no-op
     again = fdtd_checkpointed(op, u0, 1000, 1e-3, chunk=256, path=path)
     np.testing.assert_allclose(np.asarray(again), np.asarray(got), rtol=0)
+
+
+def test_block_chunked_matches_monolithic(rng, tmp_path):
+    """block_lanczos_checkpointed == block_lanczos(reorth='none'), and a
+    run interrupted mid-way resumes to the identical result."""
+    from lanczos_tpu.methods.block_lanczos import block_lanczos
+    from lanczos_tpu.methods.checkpoint import block_lanczos_checkpointed
+    from lanczos_tpu.models.maxwell import MaxwellOperator
+    from lanczos_tpu.models.rhs import gaussian_matrix_B
+
+    op = MaxwellOperator.create(3, 3, 3, dtype=jnp.float64)
+    b = jnp.asarray(
+        np.asarray(gaussian_matrix_B(3, op.n, 3), np.float64)
+    )
+    m, lc = 9, 17
+    ref = block_lanczos(op, b, m, lc)
+
+    path = str(tmp_path / "blk.npz")
+    got = block_lanczos_checkpointed(op, b, m, lc, chunk=2, path=path)
+    np.testing.assert_allclose(np.asarray(got.alphas), np.asarray(ref.alphas),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.betas), np.asarray(ref.betas),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.trace), np.asarray(ref.trace),
+                               rtol=1e-10, atol=1e-12)
+
+    # simulate an interruption: run only 2 chunks' worth, then resume
+    path2 = str(tmp_path / "blk2.npz")
+    from lanczos_tpu.methods.checkpoint import BlockLanczosCheckpoint
+
+    block_lanczos_checkpointed(op, b, m, lc, chunk=3, path=path2)
+    ck = BlockLanczosCheckpoint.load(path2)
+    ck.j = 4  # pretend only 4 iterations survived
+    ck.alphas[4:] = 0
+    ck.betas[4:] = 0
+    ck.trace[4:] = 0
+    ck.save(path2)
+    resumed = block_lanczos_checkpointed(op, b, m, lc, chunk=3, path=path2)
+    np.testing.assert_allclose(np.asarray(resumed.trace)[:4],
+                               np.asarray(ref.trace)[:4], rtol=1e-10, atol=1e-12)
+    # alphas resumed from iteration 4 onward must still match
+    np.testing.assert_allclose(np.asarray(resumed.alphas),
+                               np.asarray(ref.alphas), rtol=1e-8, atol=1e-10)
