@@ -23,4 +23,50 @@ Design stance (TPU-first, not a port):
 
 from lanczos_tpu.version import __version__
 
-__all__ = ["__version__"]
+# Lazy top-level API: `from lanczos_tpu import block_lanczos` etc. without
+# importing jax (and triggering backend init) at package-import time.
+_API = {
+    "vector_lanczos": "lanczos_tpu.methods",
+    "block_lanczos": "lanczos_tpu.methods",
+    "lanczos_eigsh": "lanczos_tpu.methods",
+    "block_lanczos_eigsh": "lanczos_tpu.methods",
+    "lanczos_expm_action": "lanczos_tpu.methods",
+    "block_lanczos_expm_action": "lanczos_tpu.methods",
+    "fdtd_vector": "lanczos_tpu.methods",
+    "fdtd_block": "lanczos_tpu.methods",
+    "vector_lanczos_checkpointed": "lanczos_tpu.methods",
+    "block_lanczos_checkpointed": "lanczos_tpu.methods",
+    "fdtd_checkpointed": "lanczos_tpu.methods",
+    "EllMatrix": "lanczos_tpu.ops.formats",
+    "CsrMatrix": "lanczos_tpu.ops.formats",
+    "CooMatrix": "lanczos_tpu.ops.formats",
+    "BsrMatrix": "lanczos_tpu.ops.formats",
+    "DiaMatrix": "lanczos_tpu.ops.formats",
+    "ell_from_scipy": "lanczos_tpu.ops.formats",
+    "csr_from_scipy": "lanczos_tpu.ops.formats",
+    "coo_from_scipy": "lanczos_tpu.ops.formats",
+    "bsr_from_scipy": "lanczos_tpu.ops.formats",
+    "dia_from_scipy": "lanczos_tpu.ops.formats",
+    "LinearOperator": "lanczos_tpu.ops.operator",
+    "MaxwellOperator": "lanczos_tpu.models.maxwell",
+    "PallasMaxwellOperator": "lanczos_tpu.models.maxwell_pallas",
+    "DistributedPallasMaxwell": "lanczos_tpu.parallel",
+    "halo_sharded_ell": "lanczos_tpu.parallel",
+    "gather_sharded_ell": "lanczos_tpu.parallel",
+    "make_mesh": "lanczos_tpu.parallel",
+    "LanczosConfig": "lanczos_tpu.config",
+}
+
+__all__ = ["__version__", *_API]
+
+
+def __getattr__(name):
+    if name in _API:
+        import importlib
+
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(f"module 'lanczos_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(__all__)
