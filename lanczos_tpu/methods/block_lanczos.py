@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from lanczos_tpu.ops.operator import LinearOperator
 from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
+from lanczos_tpu.ops.tsqr import tsqr
 
 
 @jax.tree_util.register_dataclass
@@ -77,6 +78,7 @@ def _mix(s, x):
         "eig_sweeps",
         "breakdown_eps",
         "trace_fn",
+        "normalize",
     ),
 )
 def block_lanczos(
@@ -91,11 +93,20 @@ def block_lanczos(
     eig_sweeps: int = 10,
     breakdown_eps: float = 0.0,
     trace_fn=None,
+    normalize: str = "sqrtm",
 ) -> BlockLanczosResult:
     """b: (p, *state_shape), block-major.  `trace_fn(q) -> (p,)` overrides
-    the default receiver extraction (flat index lc per block column)."""
+    the default receiver extraction (flat index lc per block column).
+
+    normalize: "sqrtm" (the reference's beta_j = sqrtm(W^T W), symmetric
+    blocks) or "qr" (TSQR: beta_j = R upper triangular — never squares the
+    condition number; BASELINE.json config 3's TSQR re-orth variant).  The
+    downstream T assembly handles both (betas placed on the subdiagonal,
+    transposes on the superdiagonal)."""
     if reorth not in ("none", "full", "periodic", "selective"):
         raise ValueError(f"unknown reorth mode {reorth!r}")
+    if normalize not in ("sqrtm", "qr"):
+        raise ValueError(f"unknown normalize mode {normalize!r}")
     need_basis = store_basis or reorth in ("full", "periodic", "selective")
     p = b.shape[0]
     dtype = b.dtype
@@ -115,10 +126,16 @@ def block_lanczos(
             g, backend=eig_backend, sweeps=eig_sweeps, breakdown_eps=breakdown_eps
         )
 
+    def normalize_block(wv):
+        """W = Q B (tall convention): returns block-major Q and B."""
+        if normalize == "qr":
+            qf, r = tsqr(wv.reshape(p, -1).T)
+            return qf.T.reshape(wv.shape), r
+        beta, inv = sqrtm_inv(_gram(wv, wv))
+        return _mix(inv, wv), beta  # reference mm_ts (block_lanczos.hpp:34)
+
     # -- first half-iteration -------------------------------------------------
-    gram0 = _gram(b, b)
-    beta0, inv0 = sqrtm_inv(gram0)
-    q0 = _mix(inv0, b)  # reference mm_ts (block_lanczos.hpp:34)
+    q0, beta0 = normalize_block(b)
     w = a.mm(q0)
     alpha0 = _sym(_gram(w, q0))
     w = w - _mix(alpha0, q0)
@@ -191,10 +208,11 @@ def block_lanczos(
             force = trigger & jnp.logical_not(force)
             om_prev, om = om, om_new
 
-        gram = _gram(wv, wv)
-        beta, inv = sqrtm_inv(gram)
-        q = _mix(inv, wv)
-        wn = a.mm(q) - _mix(beta, q_prev)
+        q, beta = normalize_block(wv)
+        # A V_j = V_{j-1} B_j^T + V_j A_j + V_{j+1} B_{j+1}: subtract the
+        # TRANSPOSED subdiagonal block (== beta for the symmetric sqrtm
+        # path; required for the upper-triangular QR path).
+        wn = a.mm(q) - _mix(beta.T, q_prev)
         alpha = _sym(_gram(wn, q))
         wn = wn - _mix(alpha, q)
 

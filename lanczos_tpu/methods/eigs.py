@@ -73,7 +73,8 @@ def lanczos_eigsh(
 
 @partial(
     jax.jit,
-    static_argnames=("m", "k", "which", "reorth", "compute_vectors", "eig_backend"),
+    static_argnames=("m", "k", "which", "reorth", "compute_vectors", "eig_backend",
+                     "normalize"),
 )
 def block_lanczos_eigsh(
     a,
@@ -85,12 +86,13 @@ def block_lanczos_eigsh(
     reorth: str = "full",
     compute_vectors: bool = False,
     eig_backend: str = "jacobi",
+    normalize: str = "sqrtm",
 ):
     """Top-k Ritz pairs from an m-step block-Lanczos run.  b is BLOCK-MAJOR
     (p, n).  Returns (values (k,), vectors (n, k) or None, residuals)."""
     res = block_lanczos(
         a, b, m, reorth=reorth, store_basis=compute_vectors,
-        eig_backend=eig_backend,
+        eig_backend=eig_backend, normalize=normalize,
     )
     p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])

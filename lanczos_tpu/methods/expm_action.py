@@ -46,7 +46,8 @@ def lanczos_expm_action(
     return res.betas[0] * jnp.sum(e[:, 0] * res.trace)
 
 
-@partial(jax.jit, static_argnames=("m", "reorth", "eig_backend", "trace_fn"))
+@partial(jax.jit, static_argnames=("m", "reorth", "eig_backend", "trace_fn",
+                                   "normalize"))
 def block_lanczos_expm_action(
     a,
     b: jax.Array,
@@ -57,11 +58,12 @@ def block_lanczos_expm_action(
     reorth: str = "none",
     eig_backend: str = "jacobi",
     trace_fn=None,
+    normalize: str = "sqrtm",
 ):
     """Row lc (length p) of expm(t_end*A) B via m-step block Lanczos.
     B is BLOCK-MAJOR (p, n); for non-flat operator states pass trace_fn."""
     res = block_lanczos(a, b, m, lc, reorth=reorth, eig_backend=eig_backend,
-                        trace_fn=trace_fn)
+                        trace_fn=trace_fn, normalize=normalize)
     p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])
     e = expm_sym(t_end * t, backend="lax")

@@ -1,0 +1,74 @@
+"""TSQR and the QR-normalized block-Lanczos variant (BASELINE config 3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanczos_tpu.ops.tsqr import tsqr
+
+
+@pytest.mark.parametrize("n,p,c", [(64, 4, 8), (1000, 6, 8), (37, 3, 4)])
+def test_tsqr_matches_numpy(n, p, c, rng):
+    a = jnp.asarray(rng.standard_normal((n, p)))
+    q, r = tsqr(a, n_chunks=c)
+    q, r = np.asarray(q), np.asarray(r)
+    # factorization + orthonormality + triangularity + sign convention
+    np.testing.assert_allclose(q @ r, np.asarray(a), atol=1e-12)
+    np.testing.assert_allclose(q.T @ q, np.eye(p), atol=1e-12)
+    assert np.allclose(r, np.triu(r))
+    assert (np.diag(r) >= 0).all()
+    # uniqueness: matches numpy's QR up to the sign convention
+    qn, rn = np.linalg.qr(np.asarray(a))
+    d = np.sign(np.diag(rn))
+    np.testing.assert_allclose(r, rn * d[:, None], atol=1e-12)
+
+
+def test_tsqr_chunking_invariant(rng):
+    a = jnp.asarray(rng.standard_normal((256, 5)))
+    q1, r1 = tsqr(a, n_chunks=2)
+    q2, r2 = tsqr(a, n_chunks=16)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-12)
+
+
+def test_block_lanczos_qr_matches_sqrtm(rng):
+    """Ritz values from normalize='qr' match normalize='sqrtm' (same
+    Krylov space; different but equivalent block factorizations)."""
+    from lanczos_tpu.methods.eigs import block_lanczos_eigsh
+    from lanczos_tpu.models.laplacian import laplacian_2d_scipy
+    from lanczos_tpu.ops.formats import ell_from_scipy
+
+    a_sp = laplacian_2d_scipy(12, 12)
+    a = ell_from_scipy(a_sp, dtype=jnp.float64)
+    b = jnp.asarray(rng.standard_normal((4, a_sp.shape[0])))
+
+    v_s, _, _ = block_lanczos_eigsh(a, b, m=20, k=5, normalize="sqrtm")
+    v_q, _, _ = block_lanczos_eigsh(a, b, m=20, k=5, normalize="qr")
+    np.testing.assert_allclose(np.asarray(v_q), np.asarray(v_s), rtol=1e-9)
+
+    from scipy.sparse.linalg import eigsh as scipy_eigsh
+
+    ref = np.sort(scipy_eigsh(a_sp, k=5, which="LA")[0])[::-1]
+    np.testing.assert_allclose(np.asarray(v_q), ref, rtol=1e-6)
+
+
+def test_block_lanczos_qr_expm_action(rng):
+    """QR-normalized block expm action matches the dense oracle."""
+    from scipy.linalg import expm as scipy_expm
+
+    from lanczos_tpu.methods.expm_action import block_lanczos_expm_action
+    from lanczos_tpu.models.maxwell import MaxwellOperator, assemble_maxwell_A
+    from lanczos_tpu.models.rhs import gaussian_matrix_B
+
+    op = MaxwellOperator.create(3, 3, 3, dtype=jnp.float64)
+    b = np.asarray(gaussian_matrix_B(3, op.n, 4), np.float64)
+    lc = 20
+    exact = scipy_expm(assemble_maxwell_A(3, 3, 3).toarray()) @ b.T
+    ref = exact[lc]
+
+    sol = np.asarray(
+        block_lanczos_expm_action(op, jnp.asarray(b), 8, 1.0, lc,
+                                  normalize="qr")
+    )
+    assert np.linalg.norm(sol - ref) / np.linalg.norm(ref) < 1e-9
