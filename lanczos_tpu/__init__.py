@@ -55,6 +55,8 @@ _API = {
     "gather_sharded_ell": "lanczos_tpu.parallel",
     "make_mesh": "lanczos_tpu.parallel",
     "LanczosConfig": "lanczos_tpu.config",
+    "load_sparse": "lanczos_tpu.io",
+    "operator_from_file": "lanczos_tpu.io",
 }
 
 __all__ = ["__version__", *_API]
