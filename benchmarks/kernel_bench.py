@@ -31,14 +31,17 @@ NCOLS = [2, 4, 6, 8, 10, 12, 14, 16, 18]
 
 
 def bench_mm_tt(rows: int, dtype=jnp.float32):
-    """R = T^T T (reference mm_tt.hpp; here one MXU dot_general)."""
+    """R = T^T T (reference mm_tt.hpp): one MXU contraction on the
+    library's BLOCK-MAJOR (p, n) layout — the tall (n, p) layout the
+    reference uses wastes 124/128 lanes of every tile on TPU (measured
+    ~14x slower) and is exactly what the block-major convention avoids."""
     out = []
     key = jax.random.PRNGKey(0)
     for p in NCOLS:
-        t = jax.random.normal(key, (rows, p), dtype)
+        t = jax.random.normal(key, (p, rows), dtype)
         s = slope_time(
-            lambda t: jax.lax.dot_general(
-                t, t, (((0,), (0,)), ((), ())), preferred_element_type=dtype
+            lambda t: jnp.einsum(
+                "pn,qn->pq", t, t, preferred_element_type=dtype
             ),
             t,
         )
@@ -51,17 +54,15 @@ def bench_mm_tt(rows: int, dtype=jnp.float32):
 
 
 def bench_mm_tt2(rows: int, dtype=jnp.float32):
-    """R = 1/2 (T1^T T2 + T2^T T1) (reference mm_tt2.hpp)."""
+    """R = 1/2 (T1^T T2 + T2^T T1) (reference mm_tt2.hpp), block-major."""
     out = []
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     for p in NCOLS:
-        t1 = jax.random.normal(k1, (rows, p), dtype)
-        t2 = jax.random.normal(k2, (rows, p), dtype)
+        t1 = jax.random.normal(k1, (p, rows), dtype)
+        t2 = jax.random.normal(k2, (p, rows), dtype)
 
         def f(t1, t2=t2):
-            g = jax.lax.dot_general(
-                t1, t2, (((0,), (0,)), ((), ())), preferred_element_type=dtype
-            )
+            g = jnp.einsum("pn,qn->pq", t1, t2, preferred_element_type=dtype)
             return 0.5 * (g + g.T)
 
         s = slope_time(f, t1)
@@ -74,13 +75,20 @@ def bench_mm_tt2(rows: int, dtype=jnp.float32):
 
 
 def bench_mm_ts(rows: int, dtype=jnp.float32):
-    """Fused update R -= T S (reference mm_ts.hpp mm_ts2)."""
+    """Fused update R -= S^T R (reference mm_ts.hpp mm_ts2), block-major:
+    the library's `_mix` einsum on the MXU."""
     out = []
     key = jax.random.PRNGKey(0)
     for p in NCOLS:
-        t = jax.random.normal(key, (rows, p), dtype)
+        t = jax.random.normal(key, (p, rows), dtype)
         s_small = jax.random.normal(key, (p, p), dtype) * 1e-3
-        sec = slope_time_chain(lambda r: r - r @ s_small, t, damp=1.0)
+
+        def f(r, s_small=s_small):
+            return r - jnp.einsum(
+                "kj,kn->jn", s_small, r, preferred_element_type=dtype
+            )
+
+        sec = slope_time_chain(f, t, damp=None)
         bs = jnp.dtype(dtype).itemsize
         bytes_moved = 3 * rows * p * bs  # read T, read R, write R
         flops = 2.0 * rows * p * p

@@ -24,33 +24,50 @@ from jax import lax
 
 
 def slope_time(op, x, k1: int = 2, k2: int = 12, trials: int = 3) -> float:
-    """Per-call seconds of `op(x)`; x is the large operand, re-fed with a
-    one-element perturbation each iteration."""
+    """Per-call seconds of `op(x)` for non-self-map ops (e.g. Gram
+    products whose output shape differs from x).
 
-    def body(i, carry):
-        t, acc = carry
-        r = op(t)
-        acc = acc + jnp.sum(r) * 1e-30
-        # cheap one-element dependency: defeats loop-invariant hoisting
-        upd = (t.reshape(-1)[0] + acc).astype(t.dtype)
-        flat = t.reshape(-1).at[0].set(upd)
-        return flat.reshape(t.shape), acc
+    Differential protocol: the loop body must thread a data dependency
+    through the big operand so XLA cannot hoist the loop-invariant op;
+    the cheapest correct dependency (`t += tiny`) still costs a full
+    read+write of t per iteration, which would inflate a memory-bound
+    op's time ~3x.  So we time the SAME loop with and without the op and
+    subtract the two slopes.  (An earlier version used a one-element
+    `.at[0].set` on a reshaped view instead — the reshape is a tiled-
+    layout change, i.e. two full relayout copies per step, which made a
+    0.3 ms Gram read as 28 ms.)"""
 
-    @jax.jit  # k is a traced loop bound: ONE compile serves both lengths
-    def fn(t, k):
-        _, acc = lax.fori_loop(0, k, body, (t, jnp.float32(0.0)))
-        return acc
+    def make(with_op):
+        def body(i, carry):
+            t, acc = carry
+            if with_op:
+                acc = acc + jnp.sum(op(t)) * 1e-30
+            else:
+                acc = acc + jnp.sum(t[..., 0]) * 1e-30
+            t = t + (acc * 1e-30).astype(t.dtype)
+            return t, acc
 
-    float(fn(x, k1))  # compile + warm
-    best = {}
-    for k in (k1, k2):
-        b = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(fn(x, k))
-            b = min(b, time.perf_counter() - t0)
-        best[k] = b
-    return max((best[k2] - best[k1]) / (k2 - k1), 1e-9)
+        @jax.jit  # k is a traced loop bound: one compile per variant
+        def fn(t, k):
+            _, acc = lax.fori_loop(0, k, body, (t, jnp.float32(0.0)))
+            return acc
+
+        return fn
+
+    slopes = {}
+    for with_op in (True, False):
+        fn = make(with_op)
+        float(fn(x, k1))  # compile + warm
+        best = {}
+        for k in (k1, k2):
+            b = float("inf")
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                float(fn(x, k))
+                b = min(b, time.perf_counter() - t0)
+            best[k] = b
+        slopes[with_op] = (best[k2] - best[k1]) / (k2 - k1)
+    return max(slopes[True] - slopes[False], 1e-9)
 
 
 def slope_time_chain(step, x, k1: int = 2, k2: int = 12, trials: int = 3,
