@@ -51,7 +51,7 @@ def main():
     damped = op.scaled(1e-2)  # ||1e-2 * A|| ~ 6: 12 chained steps stay finite
     u = damped.pack(jax.random.normal(key, (p, n), jnp.float32))
 
-    secs = slope_time_chain(lambda y: damped.mm(y), u, damp=None)
+    secs = slope_time_chain(lambda y, a: a.mm(y), u, damped, damp=None)
 
     # Logical nnz of the assembled operator: ELL width 4 (2 curl blocks x
     # 2 taps per output row), matching the reference's flop model.

@@ -61,11 +61,11 @@ def bench_mm_tt2(rows: int, dtype=jnp.float32):
         t1 = jax.random.normal(k1, (p, rows), dtype)
         t2 = jax.random.normal(k2, (p, rows), dtype)
 
-        def f(t1, t2=t2):
+        def f(t1, t2):
             g = jnp.einsum("pn,qn->pq", t1, t2, preferred_element_type=dtype)
             return 0.5 * (g + g.T)
 
-        s = slope_time(f, t1)
+        s = slope_time(f, t1, t2)
         bs = jnp.dtype(dtype).itemsize
         bytes_moved = 2 * rows * p * bs
         flops = 2.0 * rows * p * p
@@ -132,8 +132,9 @@ def bench_spmm_ell(n_grid: int, dtype=jnp.float32):
     key = jax.random.PRNGKey(0)
     for p in [1] + NCOLS:
         x = jax.random.normal(key, (rows,) if p == 1 else (p, rows), dtype)
-        step = a.mv if p == 1 else a.mm  # square operator: chainable
-        s = slope_time_chain(step, x)
+        # operator passed as a pytree ARG (not a closure constant)
+        step = (lambda y, a: a.mv(y)) if p == 1 else (lambda y, a: a.mm(y))
+        s = slope_time_chain(step, x, a)
         bs = jnp.dtype(dtype).itemsize
         nnz = a.padded_rows * a.width
         # reference model (spmv_spmm.cu): data + idx + x gathers + y write
@@ -158,8 +159,8 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
         x = op.pack(
             jax.random.normal(key, (rows,) if p == 1 else (p, rows), dtype)
         )
-        step = damped.mv if p == 1 else damped.mm
-        s = slope_time_chain(step, x, damp=None)
+        step = (lambda y, a: a.mv(y)) if p == 1 else (lambda y, a: a.mm(y))
+        s = slope_time_chain(step, x, damped, damp=None)
         bs = jnp.dtype(dtype).itemsize
         nnz = 4 * rows  # logical ELL width 4
         bytes_moved = 2 * rows * max(p, 1) * bs  # read x + write y only

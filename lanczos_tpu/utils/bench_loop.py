@@ -23,9 +23,14 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def slope_time(op, x, k1: int = 2, k2: int = 12, trials: int = 3) -> float:
-    """Per-call seconds of `op(x)` for non-self-map ops (e.g. Gram
-    products whose output shape differs from x).
+def slope_time(op, x, *extra, k1: int = 2, k2: int = 12,
+               trials: int = 3) -> float:
+    """Per-call seconds of `op(x, *extra)` for non-self-map ops (e.g.
+    Gram products whose output shape differs from x).  Large secondary
+    operands MUST go through `extra`, not a closure — closed-over arrays
+    become embedded constants, which this environment's remote-compile
+    service rejects above ~100 MB (HTTP 413) and re-uploads per call
+    otherwise.
 
     Differential protocol: the loop body must thread a data dependency
     through the big operand so XLA cannot hoist the loop-invariant op;
@@ -38,17 +43,17 @@ def slope_time(op, x, k1: int = 2, k2: int = 12, trials: int = 3) -> float:
     0.3 ms Gram read as 28 ms.)"""
 
     def make(with_op):
-        def body(i, carry):
-            t, acc = carry
-            if with_op:
-                acc = acc + jnp.sum(op(t)) * 1e-30
-            else:
-                acc = acc + jnp.sum(t[..., 0]) * 1e-30
-            t = t + (acc * 1e-30).astype(t.dtype)
-            return t, acc
-
         @jax.jit  # k is a traced loop bound: one compile per variant
-        def fn(t, k):
+        def fn(t, k, *extra):
+            def body(i, carry):
+                t, acc = carry
+                if with_op:
+                    acc = acc + jnp.sum(op(t, *extra)) * 1e-30
+                else:
+                    acc = acc + jnp.sum(t[..., 0]) * 1e-30
+                t = t + (acc * 1e-30).astype(t.dtype)
+                return t, acc
+
             _, acc = lax.fori_loop(0, k, body, (t, jnp.float32(0.0)))
             return acc
 
@@ -57,45 +62,48 @@ def slope_time(op, x, k1: int = 2, k2: int = 12, trials: int = 3) -> float:
     slopes = {}
     for with_op in (True, False):
         fn = make(with_op)
-        float(fn(x, k1))  # compile + warm
+        float(fn(x, k1, *extra))  # compile + warm
         best = {}
         for k in (k1, k2):
             b = float("inf")
             for _ in range(trials):
                 t0 = time.perf_counter()
-                float(fn(x, k))
+                float(fn(x, k, *extra))
                 b = min(b, time.perf_counter() - t0)
             best[k] = b
         slopes[with_op] = (best[k2] - best[k1]) / (k2 - k1)
     return max(slopes[True] - slopes[False], 1e-9)
 
 
-def slope_time_chain(step, x, k1: int = 2, k2: int = 12, trials: int = 3,
-                     damp: float | None = 1e-2) -> float:
-    """Per-call seconds for a self-map y = step(y) (SpMV/SpMM-style),
-    chained directly: y_{k+1} = damp * step(y_k).
+def slope_time_chain(step, x, *extra, k1: int = 2, k2: int = 12,
+                     trials: int = 3, damp: float | None = 1e-2) -> float:
+    """Per-call seconds for a self-map y = step(y, *extra) (SpMV/SpMM-
+    style), chained directly: y_{k+1} = damp * step(y_k).
 
     damp=None chains raw (y = step(y)).  Prefer folding any anti-overflow
     scaling INTO the measured operator (e.g. scale its weights once) and
     passing damp=None: the `* damp` here is a separate XLA pass — a full
     extra read+write of the state per step — which for a memory-bound op
-    roughly DOUBLES the apparent per-step time."""
-
-    def body(i, y):
-        y = step(y)
-        return y if damp is None else y * damp
+    roughly DOUBLES the apparent per-step time.  Pass large operands
+    (e.g. an assembled sparse-operator pytree) via `extra`, not a
+    closure: closed-over arrays become embedded constants, which the
+    remote-compile service rejects above ~100 MB (HTTP 413)."""
 
     @jax.jit  # k is a traced loop bound: ONE compile serves both lengths
-    def fn(x, k):
+    def fn(x, k, *extra):
+        def body(i, y):
+            y = step(y, *extra)
+            return y if damp is None else y * damp
+
         return jnp.sum(lax.fori_loop(0, k, body, x))
 
-    float(fn(x, k1))  # compile + warm
+    float(fn(x, k1, *extra))  # compile + warm
     best = {}
     for k in (k1, k2):
         b = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
-            float(fn(x, k))
+            float(fn(x, k, *extra))
             b = min(b, time.perf_counter() - t0)
         best[k] = b
     return max((best[k2] - best[k1]) / (k2 - k1), 1e-9)
