@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -141,7 +142,8 @@ def bench_spmm_ell(n_grid: int, dtype=jnp.float32):
         bytes_moved = nnz * (bs + 4) + rows * max(p, 1) * bs * 2
         flops = 2.0 * nnz * max(p, 1)
         out.append({"n_col": p, "rows": rows, "seconds": s,
-                    "nnz_per_s": nnz / s, "gbps": bytes_moved / s / 1e9,
+                    "nnz_per_s": nnz * max(p, 1) / s,
+                    "gbps": bytes_moved / s / 1e9,
                     "gflops": flops / s / 1e9})
     return out
 
@@ -191,13 +193,22 @@ def main():
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset of " + ",".join(BENCHES))
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--merge", action="store_true",
+                    help="merge into an existing --json file")
     args = ap.parse_args()
 
     names = args.only.split(",") if args.only else list(BENCHES)
     results = {}
+    if args.json and args.merge and os.path.exists(args.json):
+        with open(args.json) as f:
+            results = json.load(f)
     for name in names:
         print(f"== {name} ==", flush=True)
-        rows = BENCHES[name](args)
+        try:
+            rows = BENCHES[name](args)
+        except Exception as e:  # OOM/contention on one bench: keep going
+            print(f"  FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+            continue
         results[name] = rows
         for r in rows:
             cells = "  ".join(
@@ -205,9 +216,9 @@ def main():
                 for k, v in r.items()
             )
             print("  " + cells, flush=True)
-    if args.json:
-        with open(args.json, "w") as f:
-            json.dump(results, f, indent=1)
+        if args.json:  # incremental dump: a late crash loses nothing
+            with open(args.json, "w") as f:
+                json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
