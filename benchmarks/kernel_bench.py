@@ -148,6 +148,34 @@ def bench_spmm_ell(n_grid: int, dtype=jnp.float32):
     return out
 
 
+def bench_spmm_dia(n_grid: int, dtype=jnp.float32):
+    """DIA (diagonal-offset) SpMV/SpMM on a 2-D Laplacian — the gather-
+    free fast path for assembled banded matrices (5 static shifted-slice
+    multiply-adds; compare spmm_ell's XLA gather at the same sizes)."""
+    from lanczos_tpu.models.laplacian import laplacian_2d_scipy
+    from lanczos_tpu.ops.formats import dia_from_scipy
+
+    a_sp = laplacian_2d_scipy(n_grid, n_grid)
+    a = dia_from_scipy(a_sp, dtype=dtype)
+    rows = a.shape[0]
+    nnz = a_sp.nnz
+    out = []
+    key = jax.random.PRNGKey(0)
+    for p in [1, 2, 4, 8]:
+        x = jax.random.normal(key, (rows,) if p == 1 else (p, rows), dtype)
+        step = (lambda y, a: a.mv(y)) if p == 1 else (lambda y, a: a.mm(y))
+        s = slope_time_chain(step, x, a, damp=1e-1)
+        bs = jnp.dtype(dtype).itemsize
+        ndiag = len(a.offsets)
+        bytes_moved = (ndiag + 2) * rows * max(p, 1) * bs  # shifted reads + y
+        flops = 2.0 * nnz * max(p, 1)
+        out.append({"n_col": p, "rows": rows, "ndiag": ndiag, "seconds": s,
+                    "nnz_per_s": nnz * max(p, 1) / s,
+                    "gbps": bytes_moved / s / 1e9,
+                    "gflops": flops / s / 1e9})
+    return out
+
+
 def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
     """Pallas Maxwell stencil SpMM (the TPU-native fast path)."""
     from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
@@ -180,6 +208,7 @@ BENCHES = {
     "mm_ts": lambda args: bench_mm_ts(args.rows_ts),
     "sqrtm": lambda args: bench_sqrtm(),
     "spmm_ell": lambda args: bench_spmm_ell(args.grid_ell),
+    "spmm_dia": lambda args: bench_spmm_dia(args.grid_dia),
     "spmm_stencil": lambda args: bench_spmm_stencil(args.grid),
 }
 
@@ -189,7 +218,8 @@ def main():
     ap.add_argument("--rows", type=int, default=10_000_000)  # mm_tt ref size
     ap.add_argument("--rows-ts", type=int, default=3_000_000)  # mm_ts ref size
     ap.add_argument("--grid", type=int, default=160)  # spmv ref N=160
-    ap.add_argument("--grid-ell", type=int, default=96)
+    ap.add_argument("--grid-ell", type=int, default=64)
+    ap.add_argument("--grid-dia", type=int, default=1268)  # ~1.6M rows
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset of " + ",".join(BENCHES))
     ap.add_argument("--json", type=str, default=None)

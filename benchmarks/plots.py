@@ -77,8 +77,14 @@ def _save(fig, out, name):
     print(f"wrote {path}")
 
 
+def _valid(r):
+    # slope_time clamps unresolvable (noise-floor) slopes to 1e-9 s; drop
+    # those sentinel points rather than plotting absurd rates.
+    return r.get("seconds", 1.0) > 2e-9
+
+
 def _series(kern, bench, key):
-    rows = kern.get(bench, [])
+    rows = [r for r in kern.get(bench, []) if _valid(r)]
     xs = [r["n_col"] for r in rows if r["n_col"] in NCOLS]
     ys = [r[key] for r in rows if r["n_col"] in NCOLS]
     return xs, ys
@@ -139,7 +145,7 @@ def main():
     # Pallas stencil SpMM (no direct N_COL sweep in the reference — plot
     # our nnz/s vs block columns with the T4 N_COL=4 SpMM rate as a line)
     if kern.get("spmm_stencil"):
-        rows = kern["spmm_stencil"]
+        rows = [r for r in kern["spmm_stencil"] if _valid(r)]
         fig, ax = plt.subplots(figsize=(5.2, 3.4))
         ax.plot([r["n_col"] for r in rows],
                 [r["nnz_per_s"] / 1e9 for r in rows],
@@ -156,7 +162,8 @@ def main():
     # 6a: block-Lanczos per-iteration time vs problem size
     if os.path.exists(args.block_csv):
         with open(args.block_csv) as f:
-            rows = list(csv.DictReader(f))
+            rows = [r for r in csv.DictReader(f)
+                    if float(r["seconds_per_iter"]) > 2e-9]
         fig, ax = plt.subplots(figsize=(5.2, 3.4))
         ax.plot([int(r["n"]) for r in rows],
                 [float(r["seconds_per_iter"]) for r in rows],
