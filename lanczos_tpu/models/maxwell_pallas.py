@@ -59,14 +59,21 @@ class PallasMaxwellOperator(LinearOperator):
 
     @classmethod
     def create(
-        cls, nx: int, ny: int, nz: int, dtype=jnp.float32, tz: int = 8
+        cls, nx: int, ny: int, nz: int, dtype=jnp.float32, tz: int | None = None
     ) -> "PallasMaxwellOperator":
-        """tz must be a multiple of 8 (Mosaic sublane tiling of the output
-        block).  The operator is split into an E-rows kernel (reads the 3 H
-        fields) and an H-rows kernel (reads the 3 E fields) so each call's
-        slab + output double-buffers fit VMEM at tz=8."""
-        if tz % 8:
-            raise ValueError("tz must be a multiple of 8")
+        """tz must be a multiple of the dtype's sublane tile (8 for f32,
+        16 for bf16; default 16 — the measured single-chip sweet spot).
+
+        dtype=bfloat16 halves the state's HBM traffic for SpMM/FDTD-style
+        streaming; weights stay f32 and the kernel accumulates in f32,
+        casting once on store (~1e-2 relative operator error from input
+        quantization — use f32 when Lanczos orthogonality matters)."""
+        eb = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+        if tz is None:
+            tz = 16
+        if tz % eb:
+            raise ValueError(f"tz must be a multiple of {eb} for {dtype}")
+        wdtype = jnp.float32 if jnp.dtype(dtype) == jnp.bfloat16 else dtype
         descs, arrays = _build_taps(nx, ny, nz, np.float64)
         shapes = maxwell_component_shapes(nx, ny, nz)
         xc, yc = nx + 3, ny + 3
@@ -81,11 +88,11 @@ class PallasMaxwellOperator(LinearOperator):
                   "h": {"wz": [], "wp": [], "taps": []}}
         for (out_c, in_c, ax, off), (wz_l, wy_l, wx_l) in zip(descs, arrays):
             zlen, ylen, xlen = shapes[out_c]
-            row_z = np.zeros(zc, np.dtype(dtype))
+            row_z = np.zeros(zc, np.dtype(wdtype))
             row_z[Z_OFF : Z_OFF + zlen] = wz_l
             wp = np.zeros((yc, xc))
             wp[1 : 1 + ylen, 1 : 1 + xlen] = np.outer(wy_l, wx_l)
-            row_p = np.zeros(plane, np.dtype(dtype))
+            row_p = np.zeros(plane, np.dtype(wdtype))
             row_p[: yc * xc] = wp.reshape(-1)
             if ax == 0:
                 dz, roll = off, 0

@@ -106,11 +106,14 @@ def apply_stencil_pair(
         raise ValueError("halves must have equal tap counts")
     if spec_a.n_in != 3 or spec_a.n_out != 3 or spec_b.n_in != 3 or spec_b.n_out != 3:
         raise ValueError("pair kernel is specialized to 3-in/3-out halves")
-    if zc % tz or tz % 8:
-        raise ValueError("zc must be a multiple of tz, tz a multiple of 8")
+    # Edge operands are eb-row blocks; eb is the dtype's sublane tile
+    # (8 for f32, 16 for bf16 — Mosaic requires sublane-divisible blocks).
+    eb = 16 if u.dtype == jnp.bfloat16 else 8
+    if zc % tz or tz % eb:
+        raise ValueError(f"zc must be a multiple of tz, tz a multiple of {eb}")
     nb = zc // tz
-    tb = tz // 8
-    nzb = zc // 8
+    tb = tz // eb
+    nzb = zc // eb
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -137,7 +140,7 @@ def apply_stencil_pair(
         (ca, dza) = crossings[0][j]
         (cb, dzb) = crossings[1][j]
         ca += 3  # half 0 reads global components 3..5
-        # 8-row block index of the needed row: (b+1)*tz for dz=+1 (its
+        # eb-row block index of the needed row: (b+1)*tz for dz=+1 (its
         # first row), b*tz-1 for dz=-1 (its last row).  Clamped at the
         # ends — clamped garbage only ever multiplies the all-zero
         # weights of the pad rows at z=0 / z=zc-1.
@@ -173,7 +176,7 @@ def apply_stencil_pair(
         pl.BlockSpec((1, n_taps, plane), lambda h, b: (h, 0, 0),
                      memory_space=pltpu.VMEM),
     ] + [
-        pl.BlockSpec((1, 8, plane), edge_index_map(j),
+        pl.BlockSpec((1, eb, plane), edge_index_map(j),
                      memory_space=pltpu.VMEM)
         for j in range(n_edges)
     ]
@@ -186,6 +189,13 @@ def apply_stencil_pair(
         def half_body(spec, slots):
             taps = spec.taps
 
+            def rolled(v, r):
+                # Mosaic's lane rotate is 32-bit only; sub-32-bit states
+                # upcast first (the weight multiply promotes anyway).
+                if v.dtype.itemsize < 4:
+                    v = v.astype(jnp.float32)
+                return pltpu.roll(v, r, axis=1)
+
             def shifted(ic, dz):
                 if dz == 0:
                     return cur_ref[ic]
@@ -195,7 +205,8 @@ def apply_stencil_pair(
                         [cur_ref[ic, 1:, :], er[0, 0:1, :]], axis=0
                     )
                 return jnp.concatenate(
-                    [er[0, 7:8, :], cur_ref[ic, : tz - 1, :]], axis=0
+                    [er[0, eb - 1 : eb, :], cur_ref[ic, : tz - 1, :]],
+                    axis=0,
                 )
 
             for oc in range(3):
@@ -209,9 +220,9 @@ def apply_stencil_pair(
                         v0 = shifted(ic0, dz0)
                         v1 = shifted(ic1, dz1)
                         if r0:
-                            v0 = pltpu.roll(v0, r0, axis=1)
+                            v0 = rolled(v0, r0)
                         if r1:
-                            v1 = pltpu.roll(v1, r1, axis=1)
+                            v1 = rolled(v1, r1)
                         if dz0 != dz1:  # z-pair: shared wplane row
                             s = (
                                 v0 * wzb_ref[0, :, t0 : t0 + 1]
@@ -230,11 +241,13 @@ def apply_stencil_pair(
                         (_, ic, dz, roll) = taps[t]
                         v = shifted(ic, dz)
                         if roll:
-                            v = pltpu.roll(v, roll, axis=1)
+                            v = rolled(v, roll)
                         term = v * wp_ref[0, t][None, :]
                         term = term * wzb_ref[0, :, t : t + 1]
                         acc = term if acc is None else acc + term
-                out_ref[oc] = acc
+                # bf16 states: v promotes to the f32 weights; accumulate
+                # in f32 and cast once on store.
+                out_ref[oc] = acc.astype(out_ref.dtype)
 
         @pl.when(h == 0)
         def _():

@@ -110,3 +110,22 @@ def test_block_lanczos_on_stacked_state(ops, rng):
     np.testing.assert_allclose(
         np.asarray(r2.trace), np.asarray(r1.trace), rtol=2e-2, atol=1e-2
     )
+
+
+def test_bf16_state_mv(rng):
+    """bfloat16-state operator: f32 weights/accumulation, bf16 storage;
+    matches the f32 operator to input-quantization accuracy (~1e-2)."""
+    from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
+
+    ref = MaxwellOperator.create(5, 6, 7, dtype=jnp.float32)
+    op = PallasMaxwellOperator.create(5, 6, 7, dtype=jnp.bfloat16)
+    assert op.dtype == jnp.bfloat16
+    assert op.wz_t.dtype == jnp.float32
+
+    x = rng.standard_normal(ref.n).astype(np.float32)
+    y_ref = np.asarray(ref.mv(jnp.asarray(x)))
+    u = op.pack(jnp.asarray(x))
+    assert u.dtype == jnp.bfloat16
+    y = np.asarray(op.unpack(op.mv(u))).astype(np.float32)
+    rel = np.abs(y - y_ref).max() / np.abs(y_ref).max()
+    assert rel < 5e-2, rel
