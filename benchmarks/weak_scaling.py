@@ -72,7 +72,9 @@ def main():
             .standard_normal((args.p, op.n))
             .astype(np.float32)
         )
-        sec = slope_time_chain(lambda y: damped.mm(y), u, damp=None)
+        # operator threaded via *extra (protocol rule: a closed-over
+        # operator becomes an embedded compile-time constant)
+        sec = slope_time_chain(lambda y, a: a.mm(y), u, damped, damp=None)
         if t1 is None:
             t1 = sec
         row = {

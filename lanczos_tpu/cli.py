@@ -125,24 +125,22 @@ def run(cfg: LanczosConfig) -> dict:
         else contextlib.nullcontext()
     )
 
-    t0 = time.perf_counter()
-    profile_ctx.__enter__()
-    if cfg.block:
-        b_np = np.asarray(
-            gaussian_matrix_B(n_grid, n, cfg.n_col), np.dtype(cfg.dtype)
-        )
-        b = pack(jnp.asarray(b_np))
-        kwargs = dict(reorth=cfg.reorth, eig_backend=cfg.eig_backend)
-        if trace_fn is not None:
-            sol = block_lanczos_expm_action(
-                op, b, cfg.m, cfg.t_end, 0, trace_fn=trace_fn(lc), **kwargs
+    def _run_lanczos():
+        if cfg.block:
+            b_np = np.asarray(
+                gaussian_matrix_B(n_grid, n, cfg.n_col), np.dtype(cfg.dtype)
             )
-        else:
-            sol = block_lanczos_expm_action(
-                op, b, cfg.m, cfg.t_end, lc, **kwargs
-            )
-        sol = np.asarray(jax.block_until_ready(sol))
-    else:
+            b = pack(jnp.asarray(b_np))
+            kwargs = dict(reorth=cfg.reorth, eig_backend=cfg.eig_backend)
+            if trace_fn is not None:
+                sol = block_lanczos_expm_action(
+                    op, b, cfg.m, cfg.t_end, 0, trace_fn=trace_fn(lc), **kwargs
+                )
+            else:
+                sol = block_lanczos_expm_action(
+                    op, b, cfg.m, cfg.t_end, lc, **kwargs
+                )
+            return b, np.asarray(jax.block_until_ready(sol))
         b_np = np.asarray(gaussian_vector_b(n_grid, n), np.dtype(cfg.dtype))
         b = pack(jnp.asarray(b_np))
         reorth = "none" if cfg.reorth == "periodic" else cfg.reorth
@@ -153,8 +151,11 @@ def run(cfg: LanczosConfig) -> dict:
             )
         else:
             sol = lanczos_expm_action(op, b, cfg.m, cfg.t_end, lc, reorth=reorth)
-        sol = float(jax.block_until_ready(sol))
-    profile_ctx.__exit__(None, None, None)
+        return b, float(jax.block_until_ready(sol))
+
+    t0 = time.perf_counter()
+    with profile_ctx:  # with-block: an exception still flushes the trace
+        b, sol = _run_lanczos()
     out["lanczos_seconds"] = time.perf_counter() - t0
     if cfg.profile_dir:
         out["profile_dir"] = cfg.profile_dir

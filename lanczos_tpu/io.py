@@ -29,7 +29,9 @@ def load_sparse(path: str):
     if low.endswith((".mtx", ".mtx.gz")):
         from scipy.io import mmread
 
-        return mmread(path).tocsr()
+        a = mmread(path)
+        # 'array'-format files come back as a dense ndarray (no .tocsr)
+        return sp.csr_matrix(a) if not sp.issparse(a) else a.tocsr()
     raise ValueError(f"unknown sparse matrix format: {path}")
 
 

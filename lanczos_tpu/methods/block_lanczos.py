@@ -44,12 +44,16 @@ from lanczos_tpu.ops.tsqr import tsqr
 class BlockLanczosResult:
     """alphas: (m, p, p); betas: (m, p, p) with betas[0] = sqrtm(B^T B) and
     betas[1:] the subdiagonal blocks; trace: (m, p) receiver value of each
-    block column; basis: (m, p, *state) if requested."""
+    block column; basis: (m, p, *state) if requested; beta_final: (p, p)
+    symmetric factor sqrtm(W_m^T W_m) of the completed m-step residual
+    block (the true beta_m; betas[-1] is beta_{m-1}), for the
+    ||beta_m S_{m,i}|| Ritz residual bound."""
 
     alphas: jax.Array
     betas: jax.Array
     trace: jax.Array
     basis: jax.Array | None
+    beta_final: jax.Array
 
 
 def _sym(g):
@@ -130,6 +134,15 @@ def block_lanczos(
         """W = Q B (tall convention): returns block-major Q and B."""
         if normalize == "qr":
             qf, r = tsqr(wv.reshape(p, -1).T)
+            if breakdown_eps > 0.0:
+                # rank guard matching the sqrtm path's pseudo-inverse
+                # breakdown semantics: zero the Q columns (and R rows)
+                # whose R diagonal has collapsed, instead of returning
+                # arbitrary directions from a singular R.
+                d = jnp.abs(jnp.diagonal(r))
+                keep = (d > breakdown_eps * jnp.max(d)).astype(wv.dtype)
+                qf = qf * keep[None, :]
+                r = r * keep[:, None]
             return qf.T.reshape(wv.shape), r
         beta, inv = sqrtm_inv(_gram(wv, wv))
         return _mix(inv, wv), beta  # reference mm_ts (block_lanczos.hpp:34)
@@ -249,18 +262,26 @@ def block_lanczos(
             body, carry0, jnp.arange(1, m)
         )
         basis_final = carry[2]
+        w_final = carry[1]
         alphas = jnp.concatenate([alpha0[None], alphas_r])
         betas = jnp.concatenate([beta0[None], betas_r])
         trace = jnp.concatenate([trace_at(q0)[None], traces_r])
     else:
         basis_final = basis0
+        w_final = w
         alphas = alpha0[None]
         betas = beta0[None]
         trace = trace_at(q0)[None]
+
+    # true beta_m of the completed factorization: the symmetric factor of
+    # the residual block left in the scan carry (one extra Gram + sqrtm;
+    # valid for both normalize modes since only its norm enters bounds).
+    beta_final, _ = sqrtm_inv(_gram(w_final, w_final))
 
     return BlockLanczosResult(
         alphas=alphas,
         betas=betas,
         trace=trace,
         basis=basis_final if store_basis else None,
+        beta_final=beta_final,
     )

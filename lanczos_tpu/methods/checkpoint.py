@@ -23,6 +23,23 @@ import numpy as np
 from lanczos_tpu.methods.vector_lanczos import VectorLanczosResult, _norm
 
 
+def _atomic_savez(path: str, **arrays) -> None:
+    """Write-then-rename .npz.  mkstemp gets the .npz suffix so np.savez
+    writes INTO the created temp file (a suffixless temp would leave a
+    stray zero-byte file behind every save)."""
+    fd, tmp = tempfile.mkstemp(
+        suffix=".npz", dir=os.path.dirname(path) or "."
+    )
+    os.close(fd)
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
 @dataclasses.dataclass
 class LanczosCheckpoint:
     """Exact state of a paused single-vector Lanczos run (reorth='none':
@@ -37,11 +54,7 @@ class LanczosCheckpoint:
     w: np.ndarray  # (*state,)
 
     def save(self, path: str) -> None:
-        d = dataclasses.asdict(self)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
-        os.close(fd)
-        np.savez(tmp, **d)
-        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+        _atomic_savez(path, **dataclasses.asdict(self))
 
     @classmethod
     def load(cls, path: str) -> "LanczosCheckpoint":
@@ -149,6 +162,7 @@ def vector_lanczos_checkpointed(
         trace=jnp.asarray(trace),
         basis=None,
         breakdown=jnp.asarray(False),
+        beta_final=_norm(w),
     )
 
 
@@ -165,11 +179,7 @@ class BlockLanczosCheckpoint:
     w: np.ndarray  # (p, *state)
 
     def save(self, path: str) -> None:
-        d = dataclasses.asdict(self)
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
-        os.close(fd)
-        np.savez(tmp, **d)
-        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+        _atomic_savez(path, **dataclasses.asdict(self))
 
     @classmethod
     def load(cls, path: str) -> "BlockLanczosCheckpoint":
@@ -280,12 +290,28 @@ def block_lanczos_checkpointed(
                 q_prev=np.asarray(q_prev), w=np.asarray(w),
             ).save(path)
 
+    beta_final, _ = sqrtm_invsqrtm(_gram(w, w), sweeps=eig_sweeps)
     return BlockLanczosResult(
         alphas=jnp.asarray(alphas),
         betas=jnp.asarray(betas),
         trace=jnp.asarray(trace),
         basis=None,
+        beta_final=beta_final,
     )
+
+
+@jax.jit
+def _fdtd_chunk_mv(u, k_arr, a, dt):
+    def body(i, u):
+        return u + dt * a.mv(u)
+    return jax.lax.fori_loop(0, k_arr, body, u)
+
+
+@jax.jit
+def _fdtd_chunk_mm(u, k_arr, a, dt):
+    def body(i, u):
+        return u + dt * a.mm(u)
+    return jax.lax.fori_loop(0, k_arr, body, u)
 
 
 def fdtd_checkpointed(
@@ -297,10 +323,22 @@ def fdtd_checkpointed(
     chunk: int = 100_000,
     path: str | None = None,
     resume: bool = True,
+    block: bool = False,
 ) -> jax.Array:
     """Forward-Euler u += dt A u in restartable chunks (the reference's
-    10^6-step oracle, fdtd.hpp:7, with resume)."""
-    dt = float(t_end) / nsteps
+    10^6-step oracle, fdtd.hpp:7 / ftdt_block fdtd.hpp:34, with resume).
+    `block=True` integrates a block-major (p, *state) state via a.mm.
+
+    The operator is a jit ARGUMENT (not a closure constant — a closed-over
+    assembled matrix would be re-embedded per compile, the failure mode
+    commit dc47c04 fixed in the benches), and dt is folded into operators
+    that support `scaled` (matching `methods/fdtd.py`: for a memory-bound
+    stencil the separate `dt *` pass costs a full extra state read+write
+    per step)."""
+    from lanczos_tpu.methods.fdtd import _maybe_fold_dt
+
+    dt = jnp.asarray(float(t_end) / nsteps, u0.dtype)
+    a, dt = _maybe_fold_dt(a, dt)
 
     start = 0
     u = u0
@@ -310,20 +348,14 @@ def fdtd_checkpointed(
             start = int(z["step"])
             u = jnp.asarray(z["u"])
 
-    @jax.jit
-    def run_chunk(u, k_arr):
-        def body(i, u):
-            return u + dt * a.mv(u)
-        return jax.lax.fori_loop(0, k_arr, body, u)
-
+    run_chunk = _fdtd_chunk_mm if block else _fdtd_chunk_mv
     while start < nsteps:
         k = min(chunk, nsteps - start)
-        u = run_chunk(u, k)
+        u = run_chunk(u, k, a, dt)
         start += k
         if path:
-            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".")
-            os.close(fd)
-            np.savez(tmp, u=np.asarray(u), step=start, nsteps=nsteps,
-                     t_end=t_end)
-            os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+            _atomic_savez(
+                path, u=np.asarray(u), step=start, nsteps=nsteps,
+                t_end=t_end,
+            )
     return u

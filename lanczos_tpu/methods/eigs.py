@@ -58,11 +58,10 @@ def lanczos_eigsh(
     w, s = jnp.linalg.eigh(t)
     idx = _select(w, k, which)
     vals = w[idx]
-    # beta_{m} not available (recurrence stops at m) -> use last computed
-    # residual norm ||w_m|| ~ betas[-1]-like bound via the final carry;
-    # standard bound uses |beta_m * s[m-1, i]|; betas[-1] is beta_{m-1}
-    # so this is the bound for the (m-1)-step factorization — conservative.
-    resid = jnp.abs(res.betas[-1] * s[-1, idx])
+    # standard Lanczos bound ||A y_i - theta_i y_i|| = |beta_m s_{m,i}|
+    # with the TRUE beta_m = ||w_m|| threaded out of the scan carry
+    # (res.beta_final; res.betas[-1] would be beta_{m-1}).
+    resid = jnp.abs(res.beta_final * s[-1, idx])
     vecs = None
     if compute_vectors:
         vecs = jnp.einsum(
@@ -99,9 +98,11 @@ def block_lanczos_eigsh(
     w, s = jnp.linalg.eigh(t)
     idx = _select(w, k, which)
     vals = w[idx]
-    # block residual bound: ||beta_m S_{m-block, i}||
+    # block residual bound ||beta_m S_{m-block, i}|| with the TRUE beta_m
+    # (symmetric factor of the final residual block, res.beta_final —
+    # res.betas[-1] would be beta_{m-1})
     tail = s[-p:, :]  # (p, m*p)
-    resid = jnp.linalg.norm(res.betas[-1] @ tail[:, idx], axis=0)
+    resid = jnp.linalg.norm(res.beta_final @ tail[:, idx], axis=0)
     vecs = None
     if compute_vectors:
         # basis: (m, p, n) block-major; T ordering is j*p + c

@@ -37,13 +37,17 @@ class VectorLanczosResult:
     subdiagonal of T; trace: (m,) basis value at index lc per iteration
     (meaningful only when lc was given); basis: (m, n) Krylov basis if
     requested, else None; breakdown: True if the recurrence hit an
-    (approximate) invariant subspace and was frozen."""
+    (approximate) invariant subspace and was frozen; beta_final: the true
+    beta_m = ||w_m|| of the completed m-step factorization (the residual
+    left in the scan carry — NOT betas[-1], which is beta_{m-1}), for the
+    |beta_m s_{m,i}| Ritz residual bound."""
 
     alphas: jax.Array
     betas: jax.Array
     trace: jax.Array
     basis: jax.Array | None
     breakdown: jax.Array
+    beta_final: jax.Array
 
 
 def _norm(x):
@@ -197,12 +201,14 @@ def vector_lanczos(
         )
         basis_final = carry[2]
         dead_final = carry[7]
+        w_final = carry[1]
         alphas = jnp.concatenate([alpha0[None], alphas_r])
         betas = jnp.concatenate([beta0[None], betas_r])
         trace = jnp.concatenate([trace_at(q0)[None], traces_r])
     else:
         basis_final = basis0
         dead_final = jnp.asarray(False)
+        w_final = w
         alphas = alpha0[None]
         betas = beta0[None]
         trace = trace_at(q0)[None]
@@ -213,4 +219,7 @@ def vector_lanczos(
         trace=trace,
         basis=basis_final if store_basis else None,
         breakdown=dead_final,
+        beta_final=jnp.where(
+            dead_final, jnp.asarray(0.0, dtype), _norm(w_final)
+        ),
     )

@@ -1,0 +1,517 @@
+"""Windowed-ELL: a Pallas TPU SpMV/SpMM kernel for *assembled* general
+sparse matrices.
+
+This is the TPU-native answer to the reference's hottest, metric-carrying
+kernel — the gathered ELL SpMV/SpMM that works on ANY matrix after
+`change_order(4)` (reference `source/kernels/spmv_spmm.hpp:106-199`,
+measured at 24.6M rows in `measurements/spmv_spmm.cu:345`).  A CUDA warp
+can gather x[idx] at full bandwidth; the TPU VPU cannot — its only native
+gather is `take_along_axis` at exactly (8, 128) granularity (gather
+within a 128-lane register row).  So instead of translating the float4
+trick, the matrix is re-packed host-side into a *windowed* layout that
+converts the global gather into (a) one large contiguous DMA per group of
+rows and (b) in-register 128-lane gathers:
+
+  * rows are processed in CHUNKS of 128 (one chunk = one lane vector of
+    the output);
+  * each chunk's nonzeros are packed into PLANES: plane j of a chunk
+    holds at most one nonzero per row (lane), all of whose column indices
+    fall inside one 256-element, 128-aligned window of x;
+  * for a banded matrix (the reference fixtures are; general matrices get
+    there via the RCM reordering in `parallel/dist_operator.py`) the k-th
+    nonzero of 128 consecutive rows almost always spans < 256 columns, so
+    planes/chunk == ELL width and the packing adds no padding;
+  * GROUPS of chunks share one x band-window staged HBM->VMEM by a
+    double-buffered async copy (the TPU analogue of the reference's
+    shared-memory staging, `spmv_spmm.hpp:166-198`);
+  * per plane the kernel does two aligned dynamic lane-slices of the
+    window, two (8,128) `take_along_axis` gathers, a select, and an FMA —
+    all VPU register ops.
+
+Cost per nonzero: 8 bytes of plane traffic (f32 value + i32 local index)
+plus the band window amortized over the group — within ~2-3x of the
+pure-stencil speed-of-light for bandwidth << group size, vs the ~100x
+penalty of an XLA elementwise gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lanczos_tpu.ops.operator import LinearOperator
+
+LANES = 128
+WINDOW = 2 * LANES  # per-plane x window (two aligned 128-lane registers)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Host-side planner
+# ---------------------------------------------------------------------------
+
+
+class PlanError(ValueError):
+    """The matrix cannot be packed within the configured caps (too many
+    planes per chunk or too wide a band window): caller should fall back
+    to the XLA gather path."""
+
+
+def _pack_planes(indptr, indices, data, n_rows, ppc_cap):
+    """Pack a CSR matrix into (chunk, plane) layout.
+
+    Returns (planes_data (C, PPC, 128) f32-like, planes_lidx (C, PPC, 128)
+    i32 in [0, 256), planes_fabs (C, PPC) i64 absolute 128-block offset,
+    -1 for empty planes).
+    """
+    n_chunks = -(-n_rows // LANES)
+    rows_pad = n_chunks * LANES
+    per_row = np.diff(indptr)
+    width = int(per_row.max()) if n_rows else 0
+    width = max(width, 1)
+
+    # ELL view (rows_pad, width); invalid slots flagged.
+    ell_idx = np.zeros((rows_pad, width), np.int64)
+    ell_dat = np.zeros((rows_pad, width), data.dtype)
+    valid = np.zeros((rows_pad, width), bool)
+    # vectorized CSR->ELL fill
+    rr = np.repeat(np.arange(n_rows), per_row)
+    kk = np.concatenate([np.arange(c) for c in per_row]) if len(indices) else np.zeros(0, np.int64)
+    ell_idx[rr, kk] = indices
+    ell_dat[rr, kk] = data
+    valid[rr, kk] = True
+
+    idx3 = ell_idx.reshape(n_chunks, LANES, width)
+    dat3 = ell_dat.reshape(n_chunks, LANES, width)
+    val3 = valid.reshape(n_chunks, LANES, width)
+
+    f3 = idx3 >> 7  # 128-block id of each nnz
+    BIG = 1 << 60
+    fmin = np.where(val3, f3, BIG).min(axis=1)  # (C, width)
+    fmax = np.where(val3, f3, -1).max(axis=1)  # (C, width)
+    has = val3.any(axis=1)  # (C, width)
+    single = has & (fmax <= fmin + 1)  # fits one 256 window
+    multi = has & ~single
+
+    # groups per (chunk, k): 0 empty / 1 single / counted for multi
+    ngroups = single.astype(np.int64)
+    multi_groups: dict[tuple[int, int], list[np.ndarray]] = {}
+    if multi.any():
+        for c, k in zip(*np.nonzero(multi)):
+            v = val3[c, :, k]
+            fs = f3[c, v, k]
+            order = np.argsort(fs, kind="stable")
+            lanes = np.nonzero(v)[0][order]
+            fs = fs[order]
+            groups = []
+            start = 0
+            while start < len(fs):
+                base = fs[start]
+                end = start
+                while end < len(fs) and fs[end] <= base + 1:
+                    end += 1
+                groups.append(lanes[start:end])
+                start = end
+            multi_groups[(int(c), int(k))] = groups
+            ngroups[c, k] = len(groups)
+
+    ppc = int(ngroups.sum(axis=1).max()) if n_chunks else 1
+    ppc = max(ppc, 1)
+    if ppc > ppc_cap:
+        raise PlanError(f"planes/chunk {ppc} exceeds cap {ppc_cap}")
+
+    planes_dat = np.zeros((n_chunks, ppc, LANES), data.dtype)
+    planes_lidx = np.zeros((n_chunks, ppc, LANES), np.int32)
+    planes_fabs = np.full((n_chunks, ppc), -1, np.int64)
+
+    # slot base of (c, k) = cumulative group count of earlier k
+    slot_base = np.zeros_like(ngroups)
+    slot_base[:, 1:] = np.cumsum(ngroups, axis=1)[:, :-1]
+
+    # bulk fill of all single-group planes (the banded common case)
+    if single.any():
+        cs, ks = np.nonzero(single)
+        slots = slot_base[cs, ks]
+        fa = fmin[cs, ks]
+        planes_fabs[cs, slots] = fa
+        # every valid lane of (c, k) goes to that plane
+        lane_mask = val3[cs, :, ks]  # (nsel, LANES)
+        lid = (idx3[cs, :, ks] - (fa << 7)[:, None]).astype(np.int32)
+        planes_lidx[cs, slots] = np.where(lane_mask, lid, 0)
+        planes_dat[cs, slots] = np.where(lane_mask, dat3[cs, :, ks], 0)
+
+    for (c, k), groups in multi_groups.items():
+        s = slot_base[c, k]
+        for gi, lanes in enumerate(groups):
+            fa = int(f3[c, lanes[0], k])
+            planes_fabs[c, s + gi] = fa
+            planes_lidx[c, s + gi, lanes] = (
+                idx3[c, lanes, k] - (fa << 7)
+            ).astype(np.int32)
+            planes_dat[c, s + gi, lanes] = dat3[c, lanes, k]
+
+    return planes_dat, planes_lidx, planes_fabs
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class WindowedEllMatrix(LinearOperator):
+    """Pallas-windowed general sparse matrix (see module docstring).
+
+    Plane arrays are flat over (group, step, chunk-in-step, plane):
+    chunk c (128 rows) owns planes [c*ppc, (c+1)*ppc).
+    """
+
+    planes_data: jax.Array   # (C_pad * ppc, 128)
+    planes_lidx: jax.Array   # (C_pad * ppc, 128) int32, values in [0, 256)
+    planes_off: jax.Array    # (nsteps, 8, cpb*ppc) i32 window 128-block
+    #                          offsets (row 0 of the middle axis; rank-3
+    #                          so the per-step SMEM block is Mosaic-legal)
+    wb: jax.Array            # (ng,) int32 group window base (elements)
+    n_rows_true: int
+    n_cols_true: int
+    ppc: int                 # planes per chunk
+    cpb: int                 # chunks per grid step
+    spg: int                 # steps per group
+    wsz: int                 # band window size (elements, mult of 128)
+    n128: int                # padded x length the kernel reads
+    nnz_true: int
+    interpret: bool | None = None
+
+    @property
+    def shape(self):
+        return (self.n_rows_true, self.n_cols_true)
+
+    @property
+    def dtype(self):
+        return self.planes_data.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.nnz_true
+
+    @property
+    def n_chunks_pad(self) -> int:
+        return self.planes_data.shape[0] // self.ppc
+
+    @property
+    def ng(self) -> int:
+        return self.wb.shape[0]
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        return self.mm(x[None, :])[0]
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        """Block-major SpMM: X (p, n) -> (p, n_rows)."""
+        p = X.shape[0]
+        return self.padded_mm(self.pack(X))[:p, : self.n_rows_true]
+
+    # -- zero-copy chained path ------------------------------------------
+
+    def pack(self, X: jax.Array) -> jax.Array:
+        """(p, n) or (n,) -> kernel-native padded (pp, n128) state."""
+        if X.ndim == 1:
+            X = X[None, :]
+        p, n = X.shape
+        pp = _round_up(max(p, 1), 8)
+        if p == pp and n == self.n128:
+            return X
+        return jax.lax.dynamic_update_slice(
+            jnp.zeros((pp, self.n128), X.dtype), X, (0, 0)
+        )
+
+    def unpack(self, Xp: jax.Array, p: int | None = None) -> jax.Array:
+        out = Xp[:, : self.n_rows_true]
+        return out[0] if p is None else out[:p]
+
+    def padded_mm(self, Xp: jax.Array) -> jax.Array:
+        """SpMM on a packed (pp, n128) state, returning the same shape —
+        no pad/slice copies; for square operators the output chains
+        directly into the next call (n128 == padded row count * 128)."""
+        return _windowed_spmm(self, Xp)
+
+    def to_dense(self) -> jax.Array:
+        """Dense reconstruction (tests)."""
+        C = self.n_chunks_pad
+        dat = self.planes_data.reshape(C, self.ppc, LANES)
+        lid = self.planes_lidx.reshape(C, self.ppc, LANES)
+        off = self.planes_off[:, 0, :].reshape(C, self.ppc)
+        wbc = jnp.repeat(self.wb, C // self.ng)  # group base per chunk
+        col = wbc[:, None, None] + off[:, :, None] * LANES + lid
+        col = jnp.clip(col, 0, self.n_cols_true - 1)
+        out = jnp.zeros((C * LANES, self.n_cols_true), self.dtype)
+        rows = (
+            jnp.arange(C)[:, None, None] * LANES
+            + jnp.arange(LANES)[None, None, :]
+        )
+        rows = jnp.broadcast_to(rows, col.shape)
+        out = out.at[rows.reshape(-1), col.reshape(-1)].add(dat.reshape(-1))
+        return out[: self.n_rows_true]
+
+    def tree_flatten(self):
+        return (
+            (self.planes_data, self.planes_lidx, self.planes_off, self.wb),
+            (
+                self.n_rows_true, self.n_cols_true, self.ppc, self.cpb,
+                self.spg, self.wsz, self.n128, self.nnz_true, self.interpret,
+            ),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def windowed_from_scipy(
+    a,
+    dtype=jnp.float32,
+    cpb: int = 16,
+    spg: int = 8,
+    ppc_cap: int = 48,
+    wsz_cap: int = 1 << 21,
+    interpret: bool | None = None,
+) -> WindowedEllMatrix:
+    """Build the windowed plan from a scipy sparse matrix (host-side,
+    once per matrix — the analogue of the reference's `change_order(4)`
+    preprocessing, `objects/ell_matrix.hpp:362`)."""
+    import scipy.sparse as sp
+
+    if not sp.issparse(a):
+        a = sp.csr_matrix(np.asarray(a))
+    a = a.tocsr()
+    a.sum_duplicates()
+    n, m = a.shape
+    npdt = np.dtype(dtype)
+
+    planes_dat, planes_lidx, planes_fabs = _pack_planes(
+        a.indptr, a.indices, a.data.astype(npdt), n, ppc_cap
+    )
+    return _assemble(
+        planes_dat, planes_lidx, planes_fabs, n, m, int(a.nnz),
+        cpb, spg, wsz_cap, interpret,
+    )
+
+
+def windowed_from_ell(
+    ell, cpb: int = 16, spg: int = 8, ppc_cap: int = 48,
+    wsz_cap: int = 1 << 21, interpret: bool | None = None,
+) -> WindowedEllMatrix:
+    """Re-pack an `EllMatrix` (device pull at setup time is fine)."""
+    import scipy.sparse as sp
+
+    data = np.asarray(ell.data)
+    idx = np.asarray(ell.indices)
+    n, m = ell.shape
+    rows = np.repeat(np.arange(data.shape[0]), data.shape[1])
+    mask = (data.reshape(-1) != 0) & (rows < n)
+    coo = sp.coo_matrix(
+        (data.reshape(-1)[mask], (rows[mask], idx.reshape(-1)[mask])),
+        shape=(n, m),
+    )
+    return windowed_from_scipy(
+        coo.tocsr(), dtype=data.dtype, cpb=cpb, spg=spg,
+        ppc_cap=ppc_cap, wsz_cap=wsz_cap, interpret=interpret,
+    )
+
+
+def _assemble(
+    planes_dat, planes_lidx, planes_fabs, n, m, nnz,
+    cpb, spg, wsz_cap, interpret,
+):
+    n_chunks, ppc, _ = planes_dat.shape
+    # Mosaic needs the per-step plane block (cpb*ppc, 128) sublane-
+    # divisible: pad ppc with zero-planes until cpb*ppc % 8 == 0.
+    while (cpb * ppc) % 8:
+        ppc += 1
+    if ppc != planes_dat.shape[1]:
+        extra = ppc - planes_dat.shape[1]
+
+        def padp(x, fill=0):
+            return np.concatenate(
+                [x, np.full((n_chunks, extra) + x.shape[2:], fill, x.dtype)],
+                axis=1,
+            )
+
+        planes_dat = padp(planes_dat)
+        planes_lidx = padp(planes_lidx)
+        planes_fabs = padp(planes_fabs, fill=-1)
+    chunks_per_group = cpb * spg
+    # Pad the output chunk count so padded-x length == padded-y length:
+    # square operators then chain through `padded_mm` with ZERO pad/slice
+    # copies between SpMM calls (the Lanczos/FDTD hot loops).
+    min_x_chunks = _round_up(m, LANES) // LANES + 1
+    ng = max(-(-max(n_chunks, min_x_chunks) // chunks_per_group), 1)
+    c_pad = ng * chunks_per_group
+
+    def pad_planes(x, fill=0):
+        out = np.full((c_pad, ppc) + x.shape[2:], fill, x.dtype)
+        out[:n_chunks] = x
+        return out
+
+    planes_dat = pad_planes(planes_dat)
+    planes_lidx = pad_planes(planes_lidx)
+    planes_fabs = pad_planes(planes_fabs, fill=-1)
+
+    n128 = c_pad * LANES  # padded x length == padded y length (>= m + 128)
+
+    fabs_g = planes_fabs.reshape(ng, chunks_per_group * ppc)
+    used = fabs_g >= 0
+    fmin_g = np.where(used, fabs_g, 1 << 60).min(axis=1)
+    fmax_g = np.where(used, fabs_g, -1).max(axis=1)
+    empty_g = ~used.any(axis=1)
+    fmin_g = np.where(empty_g, 0, fmin_g)
+    fmax_g = np.where(empty_g, 0, fmax_g)
+
+    wsz = int(((fmax_g - fmin_g).max() + 2) * LANES)
+    wsz = min(max(wsz, WINDOW), n128)
+    if wsz > wsz_cap:
+        raise PlanError(f"band window {wsz} exceeds cap {wsz_cap}")
+
+    wb = np.minimum(fmin_g * LANES, n128 - wsz).astype(np.int64)
+    wb = np.maximum(wb, 0)
+    off = planes_fabs - (wb // LANES).repeat(chunks_per_group)[:, None]
+    off = np.where(planes_fabs >= 0, off, 0)
+    assert off.min() >= 0 and (off.max() + 2) * LANES <= wsz, "window math"
+
+    nsteps = ng * spg
+    spb = cpb * ppc
+    off3 = np.zeros((nsteps, 8, spb), np.int32)
+    off3[:, 0, :] = off.reshape(nsteps, spb)
+
+    return WindowedEllMatrix(
+        planes_data=jnp.asarray(planes_dat.reshape(-1, LANES)),
+        planes_lidx=jnp.asarray(planes_lidx.reshape(-1, LANES)),
+        planes_off=jnp.asarray(off3),
+        wb=jnp.asarray(wb.astype(np.int32)),
+        n_rows_true=n,
+        n_cols_true=m,
+        ppc=ppc,
+        cpb=cpb,
+        spg=spg,
+        wsz=wsz,
+        n128=n128,
+        nnz_true=nnz,
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _spmm_kernel(ng, spg, cpb, ppc, wsz, pp, out_dtype,
+                 wb_ref, off_ref, dat_ref, lidx_ref, x_hbm,
+                 out_ref, xwin, sem):
+    g = pl.program_id(0)
+    s = pl.program_id(1)
+    slot = jax.lax.rem(g, jnp.asarray(2, g.dtype))
+
+    def dma(gi, sl):
+        base = pl.multiple_of(wb_ref[gi], LANES)
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(base, wsz)], xwin.at[sl], sem.at[sl]
+        )
+
+    @pl.when(jnp.logical_and(g == 0, s == 0))
+    def _():
+        dma(0, 0).start()
+
+    @pl.when(s == 0)
+    def _():
+        dma(g, slot).wait()
+
+        @pl.when(g + 1 < ng)
+        def _():
+            dma(g + 1, 1 - slot).start()
+
+    for c in range(cpb):
+        for q in range(pp // 8):
+            acc = jnp.zeros((8, LANES), jnp.float32)
+            for k in range(ppc):
+                j = c * ppc + k
+                base = pl.multiple_of(off_ref[0, 0, j] * LANES, LANES)
+                wa = xwin[slot, q * 8:(q + 1) * 8, pl.ds(base, LANES)]
+                wbk = xwin[slot, q * 8:(q + 1) * 8,
+                           pl.ds(base + LANES, LANES)]
+                l = jnp.broadcast_to(lidx_ref[j][None, :], (8, LANES))
+                ga = jnp.take_along_axis(wa, jnp.minimum(l, LANES - 1), axis=1)
+                gb = jnp.take_along_axis(
+                    wbk, jnp.maximum(l - LANES, 0), axis=1
+                )
+                gv = jnp.where(l < LANES, ga, gb)
+                acc = acc + dat_ref[j][None, :].astype(jnp.float32) * gv
+            out_ref[q * 8:(q + 1) * 8, c * LANES:(c + 1) * LANES] = (
+                acc.astype(out_dtype)
+            )
+
+
+# imported late so the planner half of the module stays importable on
+# builds without pallas
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+def _windowed_spmm(A: WindowedEllMatrix, Xp: jax.Array) -> jax.Array:
+    pp, n = Xp.shape
+    if n != A.n128 or pp % 8:
+        raise ValueError(
+            f"padded state must be (8k, {A.n128}), got {Xp.shape}; "
+            "use .pack()"
+        )
+    interpret = A.interpret
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    c_pad = A.n_chunks_pad
+    spb = A.cpb * A.ppc  # planes per grid step
+    spg = A.spg
+
+    out = pl.pallas_call(
+        functools.partial(
+            _spmm_kernel, A.ng, spg, A.cpb, A.ppc, A.wsz, pp, Xp.dtype
+        ),
+        grid=(A.ng, spg),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # wb, full
+            # per-step plane meta: rank-3 (steps, 8, spb) so the SMEM
+            # block satisfies Mosaic's (8, full) divisibility rule; only
+            # row 0 of the middle axis carries data
+            pl.BlockSpec(
+                (1, 8, spb), lambda g, s: (g * spg + s, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (spb, LANES), lambda g, s: (g * spg + s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (spb, LANES), lambda g, s: (g * spg + s, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # x, manual DMA
+        ],
+        out_specs=pl.BlockSpec(
+            (pp, A.cpb * LANES), lambda g, s: (0, g * spg + s),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((pp, c_pad * LANES), Xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, pp, A.wsz), Xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(A.wb, A.planes_off, A.planes_data, A.planes_lidx, Xp)
+    return out
