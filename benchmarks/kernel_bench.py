@@ -202,6 +202,95 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
     return out
 
 
+def bench_copy_bw(rows: int, dtype=jnp.float32):
+    """Measured copy-bandwidth roofline: y = x + 1 (one read + one write
+    of the state) at the reference's SpMM state sizes — the
+    speed-of-light denominator for every nnz/s and GB/s figure in this
+    file (the reference computes analytic GB/s against nominal DRAM BW,
+    `measurements/spmv_spmm.cu:419-446`; we record the MEASURED ceiling)."""
+    out = []
+    key = jax.random.PRNGKey(0)
+    for p in [1, 4, 8]:
+        x = jax.random.normal(key, (rows,) if p == 1 else (p, rows), dtype)
+        s = slope_time_chain(lambda y: y + 1.0, x, damp=None)
+        bs = jnp.dtype(dtype).itemsize
+        bytes_moved = 2 * rows * max(p, 1) * bs
+        out.append({"n_col": p, "rows": rows, "seconds": s,
+                    "copy_gbps": bytes_moved / s / 1e9})
+    return out
+
+
+def bench_spmm_windowed(n_grid: int, dtype=jnp.float32):
+    """Windowed-ELL Pallas SpMM (the TPU-native fast path for ASSEMBLED
+    general matrices — reference ell::SpMM, `spmv_spmm.hpp:138`) on the
+    2-D Laplacian and the width-4 Maxwell ELL operator."""
+    from lanczos_tpu.models.laplacian import laplacian_2d_scipy
+    from lanczos_tpu.models.maxwell import maxwell_ell_operator
+    from lanczos_tpu.ops.pallas.window_ell import (
+        windowed_from_ell,
+        windowed_from_scipy,
+    )
+    import numpy as np
+
+    out = []
+    key = jax.random.PRNGKey(0)
+    fixtures = [
+        ("laplacian_2d", windowed_from_scipy(
+            laplacian_2d_scipy(n_grid, n_grid).astype(np.float32))),
+        ("maxwell_w4", windowed_from_ell(
+            maxwell_ell_operator(64, 64, 64), reorder="rcm")),
+    ]
+    for name, a in fixtures:
+        rows = a.shape[0]
+        nnz = a.nnz
+        for p in [1, 4, 8, 16]:
+            x = a.pack(jax.random.normal(
+                key, (rows,) if p == 1 else (p, rows), dtype))
+            s = slope_time_chain(lambda y, a: a.padded_mm(y), x, a, damp=None)
+            bs = jnp.dtype(dtype).itemsize
+            # actual traffic: plane value+index streams + padded state r/w
+            pp = max(8 * -(-p // 8), 8)
+            bytes_moved = (
+                a.planes_data.size * (bs + 4) + 2 * pp * a.n128 * bs
+            )
+            out.append({
+                "fixture": name, "n_col": p, "rows": rows, "ppc": a.ppc,
+                "seconds": s, "nnz_per_s": nnz * max(p, 1) / s,
+                "gbps": bytes_moved / s / 1e9,
+                "gflops": 2.0 * nnz * max(p, 1) / s / 1e9,
+            })
+    return out
+
+
+def bench_spmm_bsr(n_grid: int, dtype=jnp.float32):
+    """BSR SpMM (BASELINE config 3's format) with a block-size sweep:
+    dense bs x bs blocks contract on the MXU via einsum + segment-sum."""
+    from lanczos_tpu.models.laplacian import laplacian_2d_scipy
+    from lanczos_tpu.ops.formats import bsr_from_scipy
+
+    a_sp = laplacian_2d_scipy(n_grid, n_grid)
+    out = []
+    key = jax.random.PRNGKey(0)
+    for bs in [4, 8, 16]:
+        a = bsr_from_scipy(a_sp, block_size=bs, dtype=dtype)
+        rows = a.shape[0]
+        nnz = a_sp.nnz
+        for p in [4]:
+            x = jax.random.normal(key, (p, rows), dtype)
+            s = slope_time_chain(lambda y, a: a.mm(y), x, a, damp=1e-1)
+            bsz = jnp.dtype(dtype).itemsize
+            stored = int(a.data.size)
+            bytes_moved = stored * bsz + a.block_cols.size * 4 \
+                + 2 * rows * p * bsz
+            out.append({
+                "block_size": bs, "n_col": p, "rows": rows,
+                "stored_nnz": stored, "seconds": s,
+                "nnz_per_s": nnz * p / s,
+                "gbps": bytes_moved / s / 1e9,
+            })
+    return out
+
+
 BENCHES = {
     "mm_tt": lambda args: bench_mm_tt(args.rows),
     "mm_tt2": lambda args: bench_mm_tt2(args.rows),
@@ -210,6 +299,9 @@ BENCHES = {
     "spmm_ell": lambda args: bench_spmm_ell(args.grid_ell),
     "spmm_dia": lambda args: bench_spmm_dia(args.grid_dia),
     "spmm_stencil": lambda args: bench_spmm_stencil(args.grid),
+    "spmm_windowed": lambda args: bench_spmm_windowed(args.grid_dia),
+    "spmm_bsr": lambda args: bench_spmm_bsr(args.grid_dia),
+    "copy_bw": lambda args: bench_copy_bw(args.rows_copy),
 }
 
 
@@ -220,6 +312,7 @@ def main():
     ap.add_argument("--grid", type=int, default=160)  # spmv ref N=160
     ap.add_argument("--grid-ell", type=int, default=64)
     ap.add_argument("--grid-dia", type=int, default=1268)  # ~1.6M rows
+    ap.add_argument("--rows-copy", type=int, default=24_600_000)  # ref state
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset of " + ",".join(BENCHES))
     ap.add_argument("--json", type=str, default=None)

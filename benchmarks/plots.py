@@ -180,6 +180,55 @@ def main():
         ax.legend(fontsize=8, frameon=False)
         _save(fig, args.out, "block_iteration.png")
 
+    # 5b: windowed-ELL assembled-matrix SpMM (round-2 kernel) vs the T4
+    # gathered ell::SpMM across the full N_COL sweep
+    if kern.get("spmm_windowed"):
+        fig, ax = plt.subplots(figsize=(5.2, 3.4))
+        for fixture, col, mk in (("laplacian_2d", C_OURS, "o"),
+                                 ("maxwell_w4", "#009E73", "D")):
+            rows = [r for r in kern["spmm_windowed"]
+                    if _valid(r) and r.get("fixture") == fixture]
+            if rows:
+                ax.plot([r["n_col"] for r in rows],
+                        [r["nnz_per_s"] / 1e9 for r in rows],
+                        color=col, lw=2, marker=mk, ms=5,
+                        label=f"windowed-ELL {fixture} (TPU v5e)", zorder=3)
+        # T4 gathered ell::SpMM nnz*p/s across its N_COL sweep at 24.6M rows
+        t4_nnz = 24.6e6 * 4
+        t4_t = [4.51e-3, 6.17e-3, 7.92e-3, 9.70e-3, 1.14e-2, 1.32e-2,
+                1.50e-2, 1.67e-2, 1.85e-2]
+        ax.plot(NCOLS, [t4_nnz * p / t / 1e9 for p, t in zip(NCOLS, t4_t)],
+                color=C_REF, lw=2, marker="s", ms=4,
+                label="T4 ell::SpMM (24.6M rows)", zorder=2)
+        ax.set_yscale("log")
+        _style(ax, "assembled-matrix SpMM (gathered/windowed ELL)",
+               "block columns p", "Gnnz/s x block columns")
+        ax.legend(fontsize=8, frameon=False)
+        _save(fig, args.out, "spmm_windowed.png")
+
+    # 6c: per-vector block-vs-single speedup (lanczos_plots.m:150) from a
+    # --sweep-ncol run of sweep_lanczos.py
+    ncol_csv = os.path.join(args.out, "file_BL_ncol.csv")
+    if os.path.exists(ncol_csv):
+        with open(ncol_csv) as f:
+            rows = [r for r in csv.DictReader(f) if int(r["p"]) > 1]
+        fig, ax = plt.subplots(figsize=(5.2, 3.4))
+        ax.plot([int(r["p"]) for r in rows],
+                [float(r["per_vector_speedup_pct"]) for r in rows],
+                color=C_OURS, lw=2, marker="o", ms=5,
+                label="this work (TPU v5e)", zorder=3)
+        # reference speedup from its published arrays: single-vector
+        # t = 0.0166 s, block iteration-pair times / 2
+        ref_sp = [(1.0 / ((t / 2 / p) / 0.0166) - 1.0) * 100.0
+                  for p, t in zip(NCOLS, REF["block_iter_s"])]
+        ax.plot(NCOLS, ref_sp, color=C_REF, lw=2, marker="s", ms=4,
+                label="T4 (lanczos_plots.m:150)", zorder=2)
+        ax.axhline(0, color="#999999", lw=1)
+        _style(ax, "per-vector speedup, block vs single Lanczos",
+               "block width N_COL", "speedup %")
+        ax.legend(fontsize=8, frameon=False)
+        _save(fig, args.out, "block_speedup.png")
+
     # 6b: convergence (ours from --conv-csv, reference curve always shown)
     fig, ax = plt.subplots(figsize=(5.2, 3.4))
     ms = list(range(1, 13))

@@ -1,0 +1,225 @@
+"""North-star configs 4-5: an assembled >=10M-row, >=100M-nnz
+SuiteSparse-style banded SPD matrix through the windowed-ELL kernel and
+block-Lanczos eigsh, end to end on one chip.
+
+Reference counterpart: `measurements/spmv_spmm.cu:345` benchmarks the
+gathered ELL SpMM at N=160 (24.6M rows); the whole-algorithm driver is
+`tensor_core_unfinished_work/measure_lanczos.cu`.  This script records:
+
+  * SpMM nnz/s on the padded chained path (the metric BASELINE.json
+    judges against >=70%-of-roofline),
+  * the measured copy-bandwidth roofline at the same state size (the
+    denominator),
+  * top-k Ritz values with true-beta_m residual bounds and the
+    ITERATIONS-TO-CONVERGE curve (residual vs block steps, recovered
+    from truncations of the block-tridiagonal T — no stored basis
+    needed at this scale),
+  * a .mtx round-trip proof on a small slab (io.py loaders).
+
+The 8-device-mesh equivalence of the same operator is asserted in
+`tests/test_dist_windowed.py` (CPU mesh); this script optionally runs the
+distributed operator on a 1-device mesh to validate that code path on
+real hardware (--dist).
+
+Usage: python benchmarks/suitesparse_scale.py [--rows 10485760]
+       [--json benchmarks/results/suitesparse_scale.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+
+def synth_suitesparse_banded(n: int, seed: int = 0):
+    """Synthetic SuiteSparse-style SPD matrix: 11 scattered diagonals
+    (near + mid + far bands, like a high-order FD/FE discretization),
+    random entries, diagonally dominant.  nnz ~ 11n."""
+    rng = np.random.default_rng(seed)
+    offsets = [0, 1, -1, 7, -7, 64, -64, 513, -513, 4999, -4999]
+    offsets = [o for o in offsets if abs(o) < n]
+    diags = []
+    for o in offsets:
+        ln = n - abs(o)
+        if o == 0:
+            diags.append(np.zeros(ln))  # filled below for dominance
+        else:
+            diags.append(rng.standard_normal(ln) * 0.5)
+    a = sp.diags(diags, offsets, format="csr")
+    a = 0.5 * (a + a.T)
+    rowsum = np.abs(a).sum(axis=1).A1 if hasattr(np.abs(a).sum(axis=1), "A1") \
+        else np.asarray(np.abs(a).sum(axis=1)).ravel()
+    # separated dominant modes so top-k convergence is finite (a pure
+    # random band has a clustered edge that no Krylov method resolves)
+    spikes = np.zeros(n)
+    spikes[rng.choice(n, size=5, replace=False)] = [50, 45, 40, 35, 30]
+    a = a + sp.diags(rowsum + 1.0 + spikes)
+    return a.tocsr().astype(np.float32)
+
+
+def convergence_curve(alphas, betas, beta_final, k, cluster_rtol=1e-4):
+    """Residual bound of the top-k DISTINCT Ritz values for every
+    truncation m' <= m, from the block-tridiagonal coefficients alone.
+
+    Without reorthogonalization (the only affordable mode at 10M rows x
+    p=8 — a stored basis would be ~13 GB) converged eigenvalues spawn
+    GHOST duplicates (loss of orthogonality, Paige's analysis), so the
+    raw top-k slots all fill with copies of lambda_max.  Clustering
+    within `cluster_rtol` and keeping each cluster's best-resid member is
+    the standard no-reorth accounting."""
+    from lanczos_tpu.ops.tridiag import assemble_block_tridiagonal
+
+    m, p, _ = np.asarray(alphas).shape
+    curve = []
+    for mp in range(1, m + 1):
+        t = np.asarray(
+            assemble_block_tridiagonal(
+                jnp.asarray(alphas[:mp]), jnp.asarray(betas[1:mp])
+            )
+        )
+        w, s = np.linalg.eigh(t)
+        bf = np.asarray(betas[mp]) if mp < m else np.asarray(beta_final)
+        resid_all = np.linalg.norm(bf @ s[-p:, :], axis=0)
+        order = np.argsort(w)[::-1]
+        scale = abs(w[order[0]]) if len(order) else 1.0
+        ritz, resid = [], []
+        for i in order:
+            if any(abs(w[i] - r) <= cluster_rtol * max(scale, 1.0)
+                   for r in ritz):
+                # ghost duplicate: keep the better residual for the cluster
+                j = int(np.argmin([abs(w[i] - r) for r in ritz]))
+                resid[j] = min(resid[j], float(resid_all[i]))
+                continue
+            ritz.append(float(w[i]))
+            resid.append(float(resid_all[i]))
+            if len(ritz) == k:
+                break
+        curve.append({"m": mp, "ritz": ritz, "resid": resid})
+    return curve
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_485_760)
+    ap.add_argument("--p", type=int, default=8)
+    ap.add_argument("--m", type=int, default=40)
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--tol", type=float, default=1e-3)
+    ap.add_argument("--dist", action="store_true",
+                    help="also run the sharded operator on a 1-device mesh")
+    ap.add_argument("--json", type=str,
+                    default="benchmarks/results/suitesparse_scale.json")
+    args = ap.parse_args()
+
+    from lanczos_tpu.methods.block_lanczos import block_lanczos
+    from lanczos_tpu.ops.pallas.window_ell import (
+        PaddedWindowedOperator,
+        windowed_from_scipy,
+    )
+    from lanczos_tpu.utils.bench_loop import slope_time_chain
+
+    out = {"rows": args.rows, "p": args.p, "m": args.m, "k": args.k}
+
+    t0 = time.time()
+    a = synth_suitesparse_banded(args.rows)
+    out["nnz"] = int(a.nnz)
+    print(f"assembled {a.shape[0]} rows, {a.nnz} nnz "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    # .mtx round-trip proof on a small slab (config 4's file-based entry)
+    from lanczos_tpu.io import load_sparse
+    from scipy.io import mmwrite
+    slab = a[:2000, :2000].tocoo()
+    os.makedirs("benchmarks/results", exist_ok=True)
+    mmwrite("benchmarks/results/_slab.mtx", slab)
+    slab2 = load_sparse("benchmarks/results/_slab.mtx")
+    assert abs(slab.tocsr() - slab2).max() < 1e-6
+    os.remove("benchmarks/results/_slab.mtx")
+    out["mtx_roundtrip"] = True
+    print("mtx round-trip ok", flush=True)
+
+    t0 = time.time()
+    A = windowed_from_scipy(a, reorder="none")
+    out["plan_seconds"] = time.time() - t0
+    out["ppc"] = A.ppc
+    out["wsz"] = A.wsz
+    print(f"plan {out['plan_seconds']:.1f}s ppc={A.ppc} wsz={A.wsz} "
+          f"ng={A.ng}", flush=True)
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((args.p, args.rows)).astype(np.float32)
+    Xp = A.pack(jnp.asarray(X))
+
+    # SpMM throughput + measured roofline at the same state size
+    sec = slope_time_chain(lambda y, A: A.padded_mm(y), Xp, A, damp=None)
+    out["spmm_seconds"] = sec
+    out["spmm_nnz_per_s"] = a.nnz * args.p / sec
+    copy_sec = slope_time_chain(lambda y: y * 1.0000001, Xp, damp=None)
+    pp = Xp.shape[0]
+    out["copy_gbps"] = 2 * pp * A.n128 * 4 / copy_sec / 1e9
+    # kernel effective traffic vs that roofline
+    kernel_bytes = A.planes_data.size * 8 + 2 * pp * A.n128 * 4
+    out["spmm_gbps"] = kernel_bytes / sec / 1e9
+    out["spmm_pct_of_copy_bw"] = 100.0 * out["spmm_gbps"] / out["copy_gbps"]
+    print(f"spmm p={args.p}: {sec*1e3:.3f} ms  "
+          f"{out['spmm_nnz_per_s']:.3e} nnz/s  "
+          f"{out['spmm_gbps']:.0f} GB/s "
+          f"({out['spmm_pct_of_copy_bw']:.0f}% of measured copy BW "
+          f"{out['copy_gbps']:.0f} GB/s)", flush=True)
+
+    # whole-algorithm: m-step block Lanczos (no stored basis at 10M rows)
+    op = PaddedWindowedOperator(A)
+    t0 = time.time()
+    res = jax.block_until_ready(
+        block_lanczos(op, Xp, args.m, reorth="none")
+    )
+    out["lanczos_seconds"] = time.time() - t0
+    curve = convergence_curve(
+        np.asarray(res.alphas), np.asarray(res.betas),
+        np.asarray(res.beta_final), args.k,
+    )
+    out["convergence"] = curve
+    scale = max(abs(v) for v in curve[-1]["ritz"])
+    iters = next(
+        (c["m"] for c in curve if max(c["resid"]) < args.tol * scale),
+        None,
+    )
+    out["iters_to_converge"] = iters
+    out["top_ritz"] = curve[-1]["ritz"]
+    out["final_resid"] = curve[-1]["resid"]
+    print(f"lanczos m={args.m}: {out['lanczos_seconds']:.1f}s  "
+          f"top-{args.k} Ritz {out['top_ritz']}  "
+          f"resid {out['final_resid']}  iters_to_{args.tol}rel: {iters}",
+          flush=True)
+
+    if args.dist:
+        from lanczos_tpu.parallel.dist_windowed import halo_sharded_windowed
+        from lanczos_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(min(len(jax.devices()), 8))
+        Ad = halo_sharded_windowed(a, mesh, reorder="none")
+        Xd = Ad.pad_vector(X[:, : args.rows])
+        sec = slope_time_chain(lambda y, Ad: Ad.mm(y), Xd, Ad, damp=None)
+        out["dist_devices"] = int(np.prod(mesh.devices.shape))
+        out["dist_spmm_nnz_per_s"] = a.nnz * args.p / sec
+        print(f"dist({out['dist_devices']} dev) spmm: "
+              f"{out['dist_spmm_nnz_per_s']:.3e} nnz/s", flush=True)
+
+    with open(args.json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {args.json}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

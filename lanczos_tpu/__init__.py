@@ -47,6 +47,14 @@ _API = {
     "coo_from_scipy": "lanczos_tpu.ops.formats",
     "bsr_from_scipy": "lanczos_tpu.ops.formats",
     "dia_from_scipy": "lanczos_tpu.ops.formats",
+    "WindowedEllMatrix": "lanczos_tpu.ops.pallas.window_ell",
+    "windowed_from_scipy": "lanczos_tpu.ops.pallas.window_ell",
+    "windowed_from_ell": "lanczos_tpu.ops.pallas.window_ell",
+    "PaddedWindowedOperator": "lanczos_tpu.ops.pallas.window_ell",
+    "halo_sharded_windowed": "lanczos_tpu.parallel.dist_windowed",
+    "HaloShardedWindowed": "lanczos_tpu.parallel.dist_windowed",
+    "tsqr": "lanczos_tpu.ops.tsqr",
+    "tsqr_sharded": "lanczos_tpu.ops.tsqr",
     "LinearOperator": "lanczos_tpu.ops.operator",
     "MaxwellOperator": "lanczos_tpu.models.maxwell",
     "PallasMaxwellOperator": "lanczos_tpu.models.maxwell_pallas",

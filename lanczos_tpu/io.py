@@ -45,9 +45,11 @@ def operator_from_file(
 ):
     """Build a ready-to-use operator from a matrix file.
 
-    format: "ell" | "csr" | "coo" | "bsr" | "dia" (single-chip
-    containers), or with `mesh` given: "halo" (banded row-sharded,
-    ppermute halo exchange) | "gather" (arbitrary sparsity, all-gather).
+    format: "ell" | "csr" | "coo" | "bsr" | "dia" (single-chip XLA
+    containers) | "windowed" (the Pallas band-window fast path for
+    assembled matrices), or with `mesh` given: "halo" (banded
+    row-sharded ELL, ppermute halo exchange) | "windowed" (row-sharded
+    Pallas fast path) | "gather" (arbitrary sparsity, all-gather).
     """
     import jax.numpy as jnp
 
@@ -57,12 +59,22 @@ def operator_from_file(
 
     if mesh is not None:
         from lanczos_tpu.parallel import gather_sharded_ell, halo_sharded_ell
+        from lanczos_tpu.parallel.dist_windowed import halo_sharded_windowed
 
         if format in ("halo", "ell"):
             return halo_sharded_ell(a, mesh, dtype=dtype, reorder=reorder)
+        if format == "windowed":
+            return halo_sharded_windowed(
+                a, mesh, dtype=dtype, reorder=reorder
+            )
         if format == "gather":
             return gather_sharded_ell(a, mesh, dtype=dtype)
         raise ValueError(f"unknown distributed format {format!r}")
+
+    if format == "windowed":
+        from lanczos_tpu.ops.pallas.window_ell import windowed_from_scipy
+
+        return windowed_from_scipy(a, dtype=dtype, reorder=reorder)
 
     from lanczos_tpu.ops import formats as F
 

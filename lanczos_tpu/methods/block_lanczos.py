@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from lanczos_tpu.ops.operator import LinearOperator
 from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
-from lanczos_tpu.ops.tsqr import tsqr
+from lanczos_tpu.ops.tsqr import tsqr, tsqr_sharded
 
 
 @jax.tree_util.register_dataclass
@@ -130,10 +130,22 @@ def block_lanczos(
             g, backend=eig_backend, sweeps=eig_sweeps, breakdown_eps=breakdown_eps
         )
 
+    # distributed operators expose a mesh: normalize='qr' then runs the
+    # communication-avoiding shard_map TSQR (local QRs + an O(p^2)
+    # all-gathered R reduction) instead of gathering the O(n) block
+    dist_mesh = getattr(a, "mesh", None)
+    dist_axis = getattr(a, "axis", "rows")
+
     def normalize_block(wv):
         """W = Q B (tall convention): returns block-major Q and B."""
         if normalize == "qr":
-            qf, r = tsqr(wv.reshape(p, -1).T)
+            if dist_mesh is not None:
+                qT, r = tsqr_sharded(
+                    wv.reshape(p, -1), dist_mesh, axis=dist_axis
+                )
+                qf = qT.T
+            else:
+                qf, r = tsqr(wv.reshape(p, -1).T)
             if breakdown_eps > 0.0:
                 # rank guard matching the sqrtm path's pseudo-inverse
                 # breakdown semantics: zero the Q columns (and R rows)

@@ -370,3 +370,32 @@ def maxwell_ell_operator(nx: int, ny: int, nz: int, row_pad: int = 8):
                               row_pad=row_pad)
     data, idx = packed
     return EllMatrix(jnp.asarray(data), jnp.asarray(idx), n, n)
+
+
+def maxwell_interleave_perm(nx: int, ny: int, nz: int) -> np.ndarray:
+    """Symmetric z-interleaved ordering for the assembled Maxwell operator:
+    unknowns sorted by (z, component, y, x) instead of the component-major
+    natural layout.
+
+    The natural layout puts each field component in its own contiguous
+    block, so the curl coupling (E rows read H columns and vice versa,
+    reference `build_A_ell.hpp:176-212` D = [0 Dh; De 0]) reaches ~n/2
+    away — hopeless for any band-window kernel.  Plain RCM restores a
+    small bandwidth but scrambles rows so the k-th nonzeros of adjacent
+    rows land in different 128-blocks (measured ~34 planes/chunk in the
+    windowed-ELL packing).  This analytic interleave gives BOTH: the
+    band collapses to ~2 z-slabs AND 128 consecutive rows are one
+    component's consecutive (y, x) run, so their k-th nonzeros share one
+    window (planes/chunk == ELL width).  Use as
+    `windowed_from_ell(ell, perm=maxwell_interleave_perm(...))`.
+    """
+    shapes = maxwell_component_shapes(nx, ny, nz)
+    zs, cs, ys, xs = [], [], [], []
+    for c, (sz, sy, sx) in enumerate(shapes):
+        z, y, x = np.indices((sz, sy, sx)).reshape(3, -1)
+        zs.append(z)
+        ys.append(y)
+        xs.append(x)
+        cs.append(np.full(z.shape, c, np.int64))
+    key = [np.concatenate(a) for a in (xs, ys, cs, zs)]
+    return np.lexsort(key).astype(np.int64)  # last key (z) is primary

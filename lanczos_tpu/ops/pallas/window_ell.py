@@ -177,6 +177,10 @@ class WindowedEllMatrix(LinearOperator):
     #                          offsets (row 0 of the middle axis; rank-3
     #                          so the per-step SMEM block is Mosaic-legal)
     wb: jax.Array            # (ng,) int32 group window base (elements)
+    perm: jax.Array          # (n,) int32 RCM row/col permutation applied
+    #                          at build time ((0,) if none): this operator
+    #                          IS P A P^T — same spectrum; use permute()/
+    #                          unpermute() at the vector boundaries
     n_rows_true: int
     n_cols_true: int
     ppc: int                 # planes per chunk
@@ -207,11 +211,30 @@ class WindowedEllMatrix(LinearOperator):
     def ng(self) -> int:
         return self.wb.shape[0]
 
+    @property
+    def is_permuted(self) -> bool:
+        return self.perm.shape[0] > 0
+
+    def permute(self, x: jax.Array) -> jax.Array:
+        """Original-ordering vector(s) -> this operator's RCM ordering
+        (identity if built with reorder='none').  One gather at setup
+        boundaries only — never inside the SpMM hot loop."""
+        if not self.is_permuted:
+            return x
+        return jnp.take(x, self.perm, axis=-1)
+
+    def unpermute(self, y: jax.Array) -> jax.Array:
+        if not self.is_permuted:
+            return y
+        out = jnp.zeros_like(y)
+        return out.at[..., self.perm].set(y)
+
     def mv(self, x: jax.Array) -> jax.Array:
         return self.mm(x[None, :])[0]
 
     def mm(self, X: jax.Array) -> jax.Array:
-        """Block-major SpMM: X (p, n) -> (p, n_rows)."""
+        """Block-major SpMM: X (p, n) -> (p, n_rows).  NB: in the
+        operator's (possibly RCM-permuted) ordering."""
         p = X.shape[0]
         return self.padded_mm(self.pack(X))[:p, : self.n_rows_true]
 
@@ -259,7 +282,10 @@ class WindowedEllMatrix(LinearOperator):
 
     def tree_flatten(self):
         return (
-            (self.planes_data, self.planes_lidx, self.planes_off, self.wb),
+            (
+                self.planes_data, self.planes_lidx, self.planes_off,
+                self.wb, self.perm,
+            ),
             (
                 self.n_rows_true, self.n_cols_true, self.ppc, self.cpb,
                 self.spg, self.wsz, self.n128, self.nnz_true, self.interpret,
@@ -275,16 +301,30 @@ def windowed_from_scipy(
     a,
     dtype=jnp.float32,
     cpb: int = 16,
-    spg: int = 8,
+    spg: int = 16,
     ppc_cap: int = 48,
-    wsz_cap: int = 1 << 21,
+    wsz_cap: int = 1 << 20,
+    reorder: str = "auto",
+    perm=None,
     interpret: bool | None = None,
 ) -> WindowedEllMatrix:
     """Build the windowed plan from a scipy sparse matrix (host-side,
     once per matrix — the analogue of the reference's `change_order(4)`
-    preprocessing, `objects/ell_matrix.hpp:362`)."""
+    preprocessing, `objects/ell_matrix.hpp:362`).
+
+    reorder: 'rcm' applies a symmetric reverse-Cuthill-McKee permutation
+    (square matrices) so the band window stays small; 'auto' applies it
+    only when the raw bandwidth would blow the VMEM window; 'none' never.
+    An explicit `perm` (new-index -> old-index array) overrides reorder —
+    use a structure-aware ordering when one exists (e.g.
+    `models.maxwell.maxwell_interleave_perm`, which packs ~7x tighter
+    than RCM on the multi-component curl operator).  The returned
+    operator then represents P A P^T — same spectrum; use
+    .permute()/.unpermute() on vectors at the boundaries."""
     import scipy.sparse as sp
 
+    if reorder not in ("none", "rcm", "auto"):
+        raise ValueError(f"unknown reorder={reorder!r}")
     if not sp.issparse(a):
         a = sp.csr_matrix(np.asarray(a))
     a = a.tocsr()
@@ -292,18 +332,38 @@ def windowed_from_scipy(
     n, m = a.shape
     npdt = np.dtype(dtype)
 
+    if perm is not None:
+        perm = np.asarray(perm)
+        a = a[perm][:, perm].tocsr()
+        a.sum_duplicates()
+    elif n == m and reorder != "none":
+        coo = a.tocoo()
+        bw = (
+            int(np.abs(coo.col.astype(np.int64) - coo.row).max())
+            if coo.nnz
+            else 0
+        )
+        # the per-group window must hold ~2*bandwidth + the group rows
+        if reorder == "rcm" or 2 * bw + cpb * spg * LANES + WINDOW > wsz_cap:
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True))
+            a = a[perm][:, perm].tocsr()
+            a.sum_duplicates()
+
     planes_dat, planes_lidx, planes_fabs = _pack_planes(
         a.indptr, a.indices, a.data.astype(npdt), n, ppc_cap
     )
     return _assemble(
         planes_dat, planes_lidx, planes_fabs, n, m, int(a.nnz),
-        cpb, spg, wsz_cap, interpret,
+        cpb, spg, wsz_cap, interpret, perm=perm,
     )
 
 
 def windowed_from_ell(
-    ell, cpb: int = 16, spg: int = 8, ppc_cap: int = 48,
-    wsz_cap: int = 1 << 21, interpret: bool | None = None,
+    ell, cpb: int = 16, spg: int = 16, ppc_cap: int = 48,
+    wsz_cap: int = 1 << 20, reorder: str = "auto", perm=None,
+    interpret: bool | None = None,
 ) -> WindowedEllMatrix:
     """Re-pack an `EllMatrix` (device pull at setup time is fine)."""
     import scipy.sparse as sp
@@ -319,14 +379,19 @@ def windowed_from_ell(
     )
     return windowed_from_scipy(
         coo.tocsr(), dtype=data.dtype, cpb=cpb, spg=spg,
-        ppc_cap=ppc_cap, wsz_cap=wsz_cap, interpret=interpret,
+        ppc_cap=ppc_cap, wsz_cap=wsz_cap, reorder=reorder, perm=perm,
+        interpret=interpret,
     )
 
 
 def _assemble(
     planes_dat, planes_lidx, planes_fabs, n, m, nnz,
-    cpb, spg, wsz_cap, interpret,
+    cpb, spg, wsz_cap, interpret, perm=None,
+    force_wsz: int | None = None, force_n128: int | None = None,
 ):
+    """force_wsz/force_n128 unify static kernel geometry across the
+    shards of a distributed build (`parallel/dist_windowed.py`) — every
+    shard must compile the SAME Pallas program."""
     n_chunks, ppc, _ = planes_dat.shape
     # Mosaic needs the per-step plane block (cpb*ppc, 128) sublane-
     # divisible: pad ppc with zero-planes until cpb*ppc % 8 == 0.
@@ -349,7 +414,14 @@ def _assemble(
     # square operators then chain through `padded_mm` with ZERO pad/slice
     # copies between SpMM calls (the Lanczos/FDTD hot loops).
     min_x_chunks = _round_up(m, LANES) // LANES + 1
-    ng = max(-(-max(n_chunks, min_x_chunks) // chunks_per_group), 1)
+    if force_n128 is not None:
+        if force_n128 % (chunks_per_group * LANES):
+            raise ValueError("force_n128 must be a group multiple")
+        ng = force_n128 // LANES // chunks_per_group
+        if ng * chunks_per_group < max(n_chunks, min_x_chunks):
+            raise ValueError("force_n128 too small for this shard")
+    else:
+        ng = max(-(-max(n_chunks, min_x_chunks) // chunks_per_group), 1)
     c_pad = ng * chunks_per_group
 
     def pad_planes(x, fill=0):
@@ -373,6 +445,10 @@ def _assemble(
 
     wsz = int(((fmax_g - fmin_g).max() + 2) * LANES)
     wsz = min(max(wsz, WINDOW), n128)
+    if force_wsz is not None:
+        if force_wsz < wsz:
+            raise ValueError("force_wsz smaller than this shard's band")
+        wsz = min(force_wsz, n128)
     if wsz > wsz_cap:
         raise PlanError(f"band window {wsz} exceeds cap {wsz_cap}")
 
@@ -392,6 +468,10 @@ def _assemble(
         planes_lidx=jnp.asarray(planes_lidx.reshape(-1, LANES)),
         planes_off=jnp.asarray(off3),
         wb=jnp.asarray(wb.astype(np.int32)),
+        perm=jnp.asarray(
+            np.zeros((0,), np.int32) if perm is None
+            else perm.astype(np.int32)
+        ),
         n_rows_true=n,
         n_cols_true=m,
         ppc=ppc,
@@ -444,10 +524,14 @@ def _spmm_kernel(ng, spg, cpb, ppc, wsz, pp, out_dtype,
                 wbk = xwin[slot, q * 8:(q + 1) * 8,
                            pl.ds(base + LANES, LANES)]
                 l = jnp.broadcast_to(lidx_ref[j][None, :], (8, LANES))
-                ga = jnp.take_along_axis(wa, jnp.minimum(l, LANES - 1), axis=1)
-                gb = jnp.take_along_axis(
-                    wbk, jnp.maximum(l - LANES, 0), axis=1
-                )
+                # one shared masked index: for l < 128, l & 127 == l; for
+                # l in [128, 256), l & 127 == l - 128 — both gathers use
+                # it and the select picks the side (saves the separate
+                # min/max clamps; the kernel is VPU-op-bound, not HBM-
+                # bound, so every register op counts)
+                lm = jax.lax.bitwise_and(l, jnp.asarray(LANES - 1, l.dtype))
+                ga = jnp.take_along_axis(wa, lm, axis=1)
+                gb = jnp.take_along_axis(wbk, lm, axis=1)
                 gv = jnp.where(l < LANES, ga, gb)
                 acc = acc + dat_ref[j][None, :].astype(jnp.float32) * gv
             out_ref[q * 8:(q + 1) * 8, c * LANES:(c + 1) * LANES] = (
@@ -515,3 +599,50 @@ def _windowed_spmm(A: WindowedEllMatrix, Xp: jax.Array) -> jax.Array:
         interpret=interpret,
     )(A.wb, A.planes_off, A.planes_data, A.planes_lidx, Xp)
     return out
+
+
+@jax.tree_util.register_pytree_node_class
+class PaddedWindowedOperator(LinearOperator):
+    """View of a WindowedEllMatrix whose mv/mm run DIRECTLY on the
+    kernel-native padded (pp, n128) state — zero pad/slice copies per
+    call, so Lanczos/FDTD hot loops chain at full kernel speed.  The pad
+    region stays exactly zero across calls (zero planes write it), so
+    Gram/dot products over the padded state are exact.  Build states with
+    `base.pack()`, read results with `base.unpack()`; a natural row index
+    i maps to padded position i (rows are not permuted by padding).
+
+    For BLOCK methods the true block width must be a multiple of 8:
+    `pack()` zero-fills the sublane pad, and an all-zero block column
+    makes beta_0 = sqrtm(B^T B) singular (NaN block recurrence).  Use
+    p in {8, 16, ...} or the unpadded `WindowedEllMatrix.mm` path."""
+
+    def __init__(self, base: WindowedEllMatrix):
+        self.base = base
+
+    @property
+    def shape(self):
+        return (self.base.n128, self.base.n128)
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    @property
+    def nnz(self) -> int:
+        return self.base.nnz
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        return self.base.padded_mm(
+            jnp.broadcast_to(x[None, :], (8, x.shape[0]))
+            * (jnp.arange(8) == 0)[:, None].astype(x.dtype)
+        )[0]
+
+    def mm(self, X: jax.Array) -> jax.Array:
+        return self.base.padded_mm(X)
+
+    def tree_flatten(self):
+        return (self.base,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)

@@ -50,3 +50,48 @@ def tsqr(a: jax.Array, n_chunks: int = 8):
     ).reshape(rows, p)[:n]
     q, r = _fix_signs(q, r)
     return q, r
+
+
+def tsqr_sharded(x: jax.Array, mesh, axis: str = "rows"):
+    """Communication-avoiding TSQR of a BLOCK-MAJOR (p, n) state sharded
+    over its last axis: per-shard local QR, `all_gather` of the (p, p)
+    R factors (O(p^2) traffic — not O(n)), a replicated QR of the
+    (n_dev*p, p) stack, and a local (rows_loc, p) x (p, p) recombine.
+
+    Returns (q, r): q (p, n) sharded like x with orthonormal rows over
+    the global state, r (p, p) replicated upper-triangular with
+    non-negative diagonal, x = r^T-combined q (tall convention
+    x.T = q.T @ r).  Zero rows of x (padding/halo slots of the
+    distributed padded state) come back zero in q up to rounding.
+    """
+    import numpy as np
+
+    p = x.shape[0]
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    def body(xb):  # (p, rows_loc)
+        ql, rl = jnp.linalg.qr(xb.T, mode="reduced")  # (rows_loc,p),(p,p)
+        rstack = jax.lax.all_gather(rl, axis)  # (n_dev, p, p)
+        q2, r = jnp.linalg.qr(
+            rstack.reshape(n_dev * p, p), mode="reduced"
+        )
+        my = jax.lax.axis_index(axis)
+        q2b = jax.lax.dynamic_index_in_dim(
+            q2.reshape(n_dev, p, p), my, 0, keepdims=False
+        )
+        q = jnp.einsum(
+            "rp,pk->rk", ql, q2b, preferred_element_type=x.dtype
+        )
+        d = jnp.sign(jnp.diagonal(r))
+        d = jnp.where(d == 0, 1.0, d).astype(r.dtype)
+        return (q * d[None, :]).T, r * d[:, None]
+
+    from jax.sharding import PartitionSpec as P
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=(P(None, axis), P()),
+        check_vma=False,
+    )(x)

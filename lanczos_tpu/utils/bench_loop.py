@@ -12,6 +12,12 @@ The loop body threads a data dependency through the iterations (a one-
 element update of the input driven by the previous output) so XLA cannot
 hoist the loop-invariant op out of the loop, and the scalar fetch forces
 real completion.
+
+Fast ops (microseconds) cannot be resolved by a short chain against the
+~ms-level host jitter: both helpers AUTO-ESCALATE the chain length k2
+(x8 per round, up to `k2_max`) until the k2-k1 wall-time delta clears
+`min_delta_s`, so no published artifact ever carries a noise-floor
+sentinel (the 1e-09 rows round 1 shipped in kernels.json / file_*.csv).
 """
 
 from __future__ import annotations
@@ -22,9 +28,35 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# the k2-k1 wall-clock delta must clear this to count as resolved
+_MIN_DELTA_S = 25e-3
+_K2_MAX = 25_000
+
+
+def _escalating_ks(k1: int, k2: int, k2_max: int):
+    ks = [k2]
+    while ks[-1] * 8 <= k2_max:
+        ks.append(ks[-1] * 8)
+    if ks[-1] != k2_max:
+        ks.append(k2_max)
+    return ks
+
+
+def _slope(fn, x, extra, k1, k2, trials):
+    best = {}
+    for k in (k1, k2):
+        b = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(fn(x, k, *extra))
+            b = min(b, time.perf_counter() - t0)
+        best[k] = b
+    return (best[k2] - best[k1]) / (k2 - k1), best[k2] - best[k1]
+
 
 def slope_time(op, x, *extra, k1: int = 2, k2: int = 12,
-               trials: int = 3) -> float:
+               trials: int = 3, k2_max: int = _K2_MAX,
+               min_delta_s: float = _MIN_DELTA_S) -> float:
     """Per-call seconds of `op(x, *extra)` for non-self-map ops (e.g.
     Gram products whose output shape differs from x).  Large secondary
     operands MUST go through `extra`, not a closure — closed-over arrays
@@ -59,24 +91,26 @@ def slope_time(op, x, *extra, k1: int = 2, k2: int = 12,
 
         return fn
 
-    slopes = {}
-    for with_op in (True, False):
-        fn = make(with_op)
-        float(fn(x, k1, *extra))  # compile + warm
-        best = {}
-        for k in (k1, k2):
-            b = float("inf")
-            for _ in range(trials):
-                t0 = time.perf_counter()
-                float(fn(x, k, *extra))
-                b = min(b, time.perf_counter() - t0)
-            best[k] = b
-        slopes[with_op] = (best[k2] - best[k1]) / (k2 - k1)
-    return max(slopes[True] - slopes[False], 1e-9)
+    fns = {w: make(w) for w in (True, False)}
+    for w in (True, False):
+        float(fns[w](x, k1, *extra))  # compile + warm
+
+    for k2_try in _escalating_ks(k1, k2, k2_max):
+        slopes = {}
+        deltas = {}
+        for w in (True, False):
+            slopes[w], deltas[w] = _slope(fns[w], x, extra, k1, k2_try, trials)
+        # the WITH-op chain must itself be resolved; the subtracted
+        # baseline loop is far cheaper and rides along
+        if deltas[True] >= min_delta_s or k2_try >= k2_max:
+            break
+    return max(slopes[True] - slopes[False], 1e-12)
 
 
 def slope_time_chain(step, x, *extra, k1: int = 2, k2: int = 12,
-                     trials: int = 3, damp: float | None = 1e-2) -> float:
+                     trials: int = 3, damp: float | None = 1e-2,
+                     k2_max: int = _K2_MAX,
+                     min_delta_s: float = _MIN_DELTA_S) -> float:
     """Per-call seconds for a self-map y = step(y, *extra) (SpMV/SpMM-
     style), chained directly: y_{k+1} = damp * step(y_k).
 
@@ -98,12 +132,8 @@ def slope_time_chain(step, x, *extra, k1: int = 2, k2: int = 12,
         return jnp.sum(lax.fori_loop(0, k, body, x))
 
     float(fn(x, k1, *extra))  # compile + warm
-    best = {}
-    for k in (k1, k2):
-        b = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            float(fn(x, k, *extra))
-            b = min(b, time.perf_counter() - t0)
-        best[k] = b
-    return max((best[k2] - best[k1]) / (k2 - k1), 1e-9)
+    for k2_try in _escalating_ks(k1, k2, k2_max):
+        slope, delta = _slope(fn, x, extra, k1, k2_try, trials)
+        if delta >= min_delta_s or k2_try >= k2_max:
+            break
+    return max(slope, 1e-12)

@@ -72,3 +72,79 @@ def test_block_lanczos_qr_expm_action(rng):
                                   normalize="qr")
     )
     assert np.linalg.norm(sol - ref) / np.linalg.norm(ref) < 1e-9
+
+
+class TestTsqrSharded:
+    """Distributed (shard_map) TSQR vs the local tree (VERDICT r1 #5)."""
+
+    def _mesh(self):
+        import jax
+        import pytest
+        from lanczos_tpu.parallel.mesh import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        return make_mesh(8)
+
+    def test_matches_local(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from lanczos_tpu.ops.tsqr import tsqr, tsqr_sharded
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((6, 1024)).astype(np.float32)  # block-major
+        qd, rd = tsqr_sharded(jnp.asarray(x), self._mesh())
+        ql, rl = tsqr(jnp.asarray(x).T)
+        np.testing.assert_allclose(np.asarray(rd), np.asarray(rl),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(qd), np.asarray(ql).T,
+                                   rtol=1e-3, atol=1e-4)
+
+    def test_orthonormal_and_reconstructs(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from lanczos_tpu.ops.tsqr import tsqr_sharded
+
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((4, 2048)).astype(np.float32)
+        q, r = tsqr_sharded(jnp.asarray(x), self._mesh())
+        q, r = np.asarray(q), np.asarray(r)
+        np.testing.assert_allclose(q @ q.T, np.eye(4), atol=1e-4)
+        np.testing.assert_allclose(r.T @ q, x, rtol=1e-3, atol=1e-3)
+        assert np.all(np.diag(r) >= 0)
+        assert np.allclose(r, np.triu(r), atol=1e-6)
+
+    def test_zero_pad_rows_stay_zero(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from lanczos_tpu.ops.tsqr import tsqr_sharded
+
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((4, 2048)).astype(np.float32)
+        x[:, 500:700] = 0.0
+        q, _ = tsqr_sharded(jnp.asarray(x), self._mesh())
+        assert np.abs(np.asarray(q)[:, 500:700]).max() < 1e-5
+
+    def test_block_lanczos_qr_distributed(self):
+        """normalize='qr' on a sharded operator goes through the
+        shard_map TSQR and matches the sqrtm path's Ritz values."""
+        import numpy as np
+        import scipy.sparse as sp
+        import jax.numpy as jnp
+        from lanczos_tpu.methods.eigs import block_lanczos_eigsh
+        from lanczos_tpu.models.laplacian import laplacian_2d_scipy
+        from lanczos_tpu.parallel.dist_windowed import halo_sharded_windowed
+
+        spikes = np.zeros(1600)
+        spikes[:3] = [10.0, 8.0, 6.0]
+        a = (laplacian_2d_scipy(40, 40) + sp.diags(spikes)).tocsr().astype(
+            np.float32
+        )
+        A = halo_sharded_windowed(a, self._mesh(), cpb=2, spg=2)
+        rng = np.random.default_rng(6)
+        b = A.pad_vector(rng.standard_normal((4, 1600)).astype(np.float32))
+        vals, _, _ = block_lanczos_eigsh(
+            A, b, 12, 3, reorth="full", normalize="qr"
+        )
+        ref = np.sort(np.linalg.eigvalsh(a.toarray()))[::-1][:3]
+        np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-3)
