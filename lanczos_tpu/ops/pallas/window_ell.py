@@ -85,7 +85,15 @@ def _pack_planes(indptr, indices, data, n_rows, ppc_cap):
     valid = np.zeros((rows_pad, width), bool)
     # vectorized CSR->ELL fill
     rr = np.repeat(np.arange(n_rows), per_row)
-    kk = np.concatenate([np.arange(c) for c in per_row]) if len(indices) else np.zeros(0, np.int64)
+    # within-row position of each nnz: global position minus its row's
+    # start (fully vectorized — a per-row arange list-comp allocates O(n)
+    # Python objects and dominates plan time at 10M+ rows)
+    kk = (
+        np.arange(len(indices), dtype=np.int64)
+        - np.repeat(indptr[:-1].astype(np.int64), per_row)
+        if len(indices)
+        else np.zeros(0, np.int64)
+    )
     ell_idx[rr, kk] = indices
     ell_dat[rr, kk] = data
     valid[rr, kk] = True

@@ -246,7 +246,10 @@ def halo_sharded_ell(
         perm = tuple(int(i) for i in p)
         halo = _shard_halo(a, rows_loc)
     hops = -(-halo // rows_loc) if halo else 0
-    if hops >= max(n_dev - 1, 1):
+    # _halo_exchange reaches k-th neighbors for k = 1..n_dev-1, so any
+    # hops <= n_dev - 1 is feasible (hops == 1 on a 2-device mesh is the
+    # ordinary nearest-neighbor ppermute).
+    if hops >= n_dev:
         raise ValueError(
             f"halo={halo} needs {hops} neighbor hops on a {n_dev}-device "
             "mesh even after reordering — use gather_sharded_ell"
