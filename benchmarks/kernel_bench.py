@@ -98,9 +98,10 @@ def bench_mm_ts(rows: int, dtype=jnp.float32):
     return out
 
 
-def bench_sqrtm(dtype=jnp.float32, sweeps: int = 10):
+def bench_sqrtm(dtype=jnp.float32, backend: str = "jacobi"):
     """sqrtm + inv-sqrtm of one N_COL x N_COL SPD matrix (reference
-    my_sqrtm_cusolver.hpp / cuSOLVER syevjBatched)."""
+    my_sqrtm_cusolver.hpp / cuSOLVER syevjBatched).  backend="newton"
+    times the coupled Newton-Schulz path (VERDICT r1 #9)."""
     from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
 
     out = []
@@ -113,7 +114,7 @@ def bench_sqrtm(dtype=jnp.float32, sweeps: int = 10):
         a = a / jnp.trace(a)
 
         def step(a):
-            sq, inv = sqrtm_invsqrtm(a, backend="jacobi", sweeps=sweeps)
+            sq, inv = sqrtm_invsqrtm(a, backend=backend)
             g = sq + inv
             return g / jnp.trace(g)  # stays SPD: chainable
 

@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--reorth", default="none",
                     choices=["none", "full", "selective", "periodic"])
     ap.add_argument("--eig-backend", default="jacobi",
-                    choices=["jacobi", "lax"])
+                    choices=["jacobi", "lax", "newton"])
     ap.add_argument("--operator", default="stencil",
                     choices=["stencil", "pallas", "ell"])
     ap.add_argument("--devices", type=int, default=1)

@@ -27,7 +27,7 @@ class LanczosConfig:
     dtype: str = "float32"
     reorth: str = "none"      # none | full | selective (vector) / periodic
     eig_backend: str = "jacobi"  # in-scan small eigensolver
-    eig_sweeps: int = 10
+    eig_sweeps: int | None = None  # None = backend default (jacobi 10, newton 18)
     breakdown_tol: float = 0.0
 
     # execution

@@ -94,7 +94,7 @@ def block_lanczos(
     reorth: str = "none",
     store_basis: bool = False,
     eig_backend: str = "jacobi",
-    eig_sweeps: int = 10,
+    eig_sweeps: int | None = None,
     breakdown_eps: float = 0.0,
     trace_fn=None,
     normalize: str = "sqrtm",

@@ -234,7 +234,7 @@ def block_lanczos_checkpointed(
     path: str | None = None,
     resume: bool = True,
     trace_fn=None,
-    eig_sweeps: int = 10,
+    eig_sweeps: int | None = None,
 ):
     """m-step block Lanczos in restartable chunks; matches
     `block_lanczos(..., reorth='none')` exactly.  b is BLOCK-MAJOR

@@ -65,14 +65,18 @@ def test_recurrence_matches_numpy(rng):
     np.testing.assert_allclose(np.asarray(res.betas), be, rtol=1e-9, atol=1e-10)
 
 
-def test_jacobi_backend_matches_lax(rng):
+@pytest.mark.parametrize("backend,kw", [
+    ("jacobi", {"eig_sweeps": 12}),
+    ("newton", {}),
+])
+def test_eig_backends_match_lax(rng, backend, kw):
     a = laplacian_2d_scipy(8)
     n = a.shape[0]
     p, m = 4, 6
     b = rng.standard_normal((n, p))
     op = MatrixOperator(jnp.asarray(a.toarray()))
     r1 = block_lanczos(op, jnp.asarray(b.T), m, eig_backend="lax")
-    r2 = block_lanczos(op, jnp.asarray(b.T), m, eig_backend="jacobi", eig_sweeps=12)
+    r2 = block_lanczos(op, jnp.asarray(b.T), m, eig_backend=backend, **kw)
     np.testing.assert_allclose(
         np.asarray(r1.alphas), np.asarray(r2.alphas), rtol=1e-8, atol=1e-9
     )

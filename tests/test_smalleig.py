@@ -48,7 +48,7 @@ def test_jacobi_eigh_batched(rng):
 
 
 @pytest.mark.parametrize("p", [2, 4, 8, 18])
-@pytest.mark.parametrize("backend", ["jacobi", "lax"])
+@pytest.mark.parametrize("backend", ["jacobi", "lax", "newton"])
 def test_sqrtm_invsqrtm(p, backend, rng):
     a = _rand_spd(rng, p)
     s, s_inv = sqrtm_invsqrtm(jnp.asarray(a), backend=backend, sweeps=14)
@@ -102,3 +102,25 @@ def test_assemble_block_tridiagonal(rng):
     np.testing.assert_array_equal(t[2:4, :2], betas[0])
     np.testing.assert_array_equal(t[:2, 2:4], betas[0].T)
     np.testing.assert_array_equal(t[4:6, 2:4], betas[1])
+
+
+def test_newton_sqrtm_rejects_breakdown_eps(rng):
+    a = _rand_spd(rng, 4)
+    with pytest.raises(ValueError, match="rank-revealing"):
+        sqrtm_invsqrtm(jnp.asarray(a), backend="newton", breakdown_eps=1e-8)
+
+
+def test_newton_sqrtm_batched_and_conditioned(rng):
+    # moderately ill-conditioned spectrum (the realistic block-Gram range)
+    p = 8
+    q, _ = np.linalg.qr(rng.standard_normal((p, p)))
+    lam = np.logspace(0, -4, p)
+    a = (q * lam) @ q.T
+    batch = np.stack([a, np.eye(p), 2.0 * a])
+    s, s_inv = sqrtm_invsqrtm(jnp.asarray(batch), backend="newton")
+    for i in range(3):
+        si = np.asarray(s[i])
+        np.testing.assert_allclose(si @ si, batch[i], atol=1e-7)
+        np.testing.assert_allclose(
+            si @ np.asarray(s_inv[i]), np.eye(p), atol=1e-5
+        )
