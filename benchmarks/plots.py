@@ -137,10 +137,24 @@ def main():
                 "effective GB/s (reference byte model)")
     plot_kernel(kern, args.out, "spmm_ell", "gflops",
                 [("spmm_gflops", "T4 ell::SpMM", C_REF)], "GFLOPS")
-    plot_kernel(kern, args.out, "sqrtm", "seconds",
-                [("sqrtm_s", "T4 warp kernel", C_REF),
-                 ("sqrtm_cusolver_s", "T4 syevjBatched", C_REF2)],
-                "seconds per sqrtm+inv", logy=True)
+    # 5: sqrtm backends (jacobi + newton) vs the reference's two arms
+    fig, ax = plt.subplots(figsize=(5.2, 3.4))
+    xs, ys = _series(kern, "sqrtm", "seconds")
+    if xs:
+        ax.plot(xs, ys, color=C_OURS, lw=2, marker="o", ms=5,
+                label="Jacobi (TPU v5e)", zorder=3)
+    xs, ys = _series(kern, "sqrtm_newton", "seconds")
+    if xs:
+        ax.plot(xs, ys, color="#009E73", lw=2, marker="D", ms=5,
+                label="Newton-Schulz (TPU v5e)", zorder=3)
+    ax.plot(NCOLS, REF["sqrtm_s"], color=C_REF, lw=2, marker="s", ms=4,
+            label="T4 warp kernel", zorder=2)
+    ax.plot(NCOLS, REF["sqrtm_cusolver_s"], color=C_REF2, lw=2, marker="s",
+            ms=4, label="T4 syevjBatched", zorder=2)
+    ax.set_yscale("log")
+    _style(ax, "sqrtm", "block width N_COL", "seconds per sqrtm+inv")
+    ax.legend(fontsize=8, frameon=False)
+    _save(fig, args.out, "sqrtm.png")
 
     # Pallas stencil SpMM (no direct N_COL sweep in the reference — plot
     # our nnz/s vs block columns with the T4 N_COL=4 SpMM rate as a line)
@@ -154,6 +168,12 @@ def main():
         t4 = 4 * 24.6e6 * 4 / 6.17e-3 / 1e9
         ax.axhline(t4, color=C_REF, lw=2, ls="--",
                    label="T4 ell::SpMM, N_COL=4", zorder=2)
+        # measured copy roofline: stencil traffic = state r+w = the copy
+        # bench's exact pattern, so nnz/s ceiling = copy_Bps / 2
+        cbw = [r for r in kern.get("copy_bw", []) if r.get("n_col") == 4]
+        if cbw:
+            ax.axhline(cbw[0]["copy_gbps"] / 2, color="#999999", lw=1.5,
+                       ls=":", label="measured copy-BW roofline", zorder=1)
         _style(ax, "spmm_stencil", "block columns p",
                "Gnnz/s x block columns")
         ax.legend(fontsize=8, frameon=False)

@@ -61,9 +61,12 @@ def synth_suitesparse_banded(n: int, seed: int = 0):
     rowsum = np.abs(a).sum(axis=1).A1 if hasattr(np.abs(a).sum(axis=1), "A1") \
         else np.asarray(np.abs(a).sum(axis=1)).ravel()
     # separated dominant modes so top-k convergence is finite (a pure
-    # random band has a clustered edge that no Krylov method resolves)
+    # random band has a clustered edge that no Krylov method resolves).
+    # The spikes must clear the band continuum's edge (~2x the max row
+    # sum) by a real gap, or the no-reorth f32 recurrence — the only
+    # affordable mode at 10M rows — stalls before the tol is met.
     spikes = np.zeros(n)
-    spikes[rng.choice(n, size=5, replace=False)] = [50, 45, 40, 35, 30]
+    spikes[rng.choice(n, size=5, replace=False)] = [500, 450, 400, 350, 300]
     a = a + sp.diags(rowsum + 1.0 + spikes)
     return a.tocsr().astype(np.float32)
 
@@ -72,12 +75,11 @@ def convergence_curve(alphas, betas, beta_final, k, cluster_rtol=1e-4):
     """Residual bound of the top-k DISTINCT Ritz values for every
     truncation m' <= m, from the block-tridiagonal coefficients alone.
 
-    Without reorthogonalization (the only affordable mode at 10M rows x
-    p=8 — a stored basis would be ~13 GB) converged eigenvalues spawn
-    GHOST duplicates (loss of orthogonality, Paige's analysis), so the
-    raw top-k slots all fill with copies of lambda_max.  Clustering
-    within `cluster_rtol` and keeping each cluster's best-resid member is
-    the standard no-reorth accounting."""
+    With reorth='periodic' the basis stays orthogonal and the clustering
+    is a no-op; it is kept so --reorth none runs (where converged
+    eigenvalues spawn GHOST duplicates — loss of orthogonality, Paige's
+    analysis) still report distinct values: cluster within `cluster_rtol`
+    and keep each cluster's best-resid member."""
     from lanczos_tpu.ops.tridiag import assemble_block_tridiagonal
 
     m, p, _ = np.asarray(alphas).shape
@@ -113,7 +115,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=10_485_760)
     ap.add_argument("--p", type=int, default=8)
-    ap.add_argument("--m", type=int, default=40)
+    ap.add_argument("--m", type=int, default=12)
+    ap.add_argument("--reorth", default="periodic")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--dist", action="store_true",
@@ -167,7 +170,7 @@ def main():
     # undamped applications, while a `* damp` pass would add a full extra
     # read+write of the state per step and inflate the measurement.
     import dataclasses as _dc
-    A_t = _dc.replace(A, planes_data=A.planes_data * (1.0 / 128.0))
+    A_t = _dc.replace(A, planes_data=A.planes_data * (1.0 / 1024.0))
     sec = slope_time_chain(lambda y, A: A.padded_mm(y), Xp, A_t, damp=None)
     out["spmm_seconds"] = sec
     out["spmm_nnz_per_s"] = a.nnz * args.p / sec
@@ -184,11 +187,20 @@ def main():
           f"({out['spmm_pct_of_copy_bw']:.0f}% of measured copy BW "
           f"{out['copy_gbps']:.0f} GB/s)", flush=True)
 
-    # whole-algorithm: m-step block Lanczos (no stored basis at 10M rows)
+    # Whole-algorithm: m-step block Lanczos.  reorth='periodic' stores the
+    # basis (m * p * n * 4B = 4 GB at the default 10.5M rows — fits HBM
+    # next to the ~1.3 GB plane arrays) and is REQUIRED for correctness
+    # here: with reorth='none' the block recurrence diverges once the
+    # well-separated top modes converge (Ritz values escape the spectrum
+    # even in f64 — see block_lanczos's breakdown_tol docstring), unlike
+    # the scalar recurrence Paige's analysis bounds.  breakdown_tol is the
+    # safety freeze for an exact invariant subspace.
     op = PaddedWindowedOperator(A)
     t0 = time.time()
     res = jax.block_until_ready(
-        block_lanczos(op, Xp, args.m, reorth="none")
+        # newton sqrtm: ~5x less sequential small-eig latency per step
+        block_lanczos(op, Xp, args.m, reorth=args.reorth,
+                      eig_backend="newton", breakdown_tol=1e-4)
     )
     out["lanczos_seconds"] = time.time() - t0
     curve = convergence_curve(

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["none", "full", "selective", "periodic"])
     ap.add_argument("--eig-backend", default="jacobi",
                     choices=["jacobi", "lax", "newton"])
+    ap.add_argument("--breakdown-tol", type=float, default=0.0,
+                    help="freeze the recurrence at an (approximate) "
+                    "invariant subspace: ||w||/beta_0 (vector) or the "
+                    "beta-block rcond estimate (block) below this "
+                    "triggers; 0 disables")
     ap.add_argument("--operator", default="stencil",
                     choices=["stencil", "pallas", "ell"])
     ap.add_argument("--devices", type=int, default=1)
@@ -61,7 +66,8 @@ def config_from_args(args) -> LanczosConfig:
         n_grid=args.n_grid, m=args.iterations, block=args.block,
         n_col=args.n_col, t_end=args.t_end, fdtd_steps=args.fdtd_steps,
         lc=args.lc, seed=args.seed, dtype=args.dtype, reorth=args.reorth,
-        eig_backend=args.eig_backend, operator=args.operator,
+        eig_backend=args.eig_backend,
+        breakdown_tol=args.breakdown_tol, operator=args.operator,
         devices=args.devices, validate=args.validate,
         profile_dir=args.profile_dir,
     )
@@ -131,7 +137,8 @@ def run(cfg: LanczosConfig) -> dict:
                 gaussian_matrix_B(n_grid, n, cfg.n_col), np.dtype(cfg.dtype)
             )
             b = pack(jnp.asarray(b_np))
-            kwargs = dict(reorth=cfg.reorth, eig_backend=cfg.eig_backend)
+            kwargs = dict(reorth=cfg.reorth, eig_backend=cfg.eig_backend,
+                          breakdown_tol=cfg.breakdown_tol)
             if trace_fn is not None:
                 sol = block_lanczos_expm_action(
                     op, b, cfg.m, cfg.t_end, 0, trace_fn=trace_fn(lc), **kwargs
@@ -147,10 +154,12 @@ def run(cfg: LanczosConfig) -> dict:
         if trace_fn is not None:
             sol = lanczos_expm_action(
                 op, b, cfg.m, cfg.t_end, 0, reorth=reorth,
-                trace_fn=trace_fn(lc),
+                breakdown_tol=cfg.breakdown_tol, trace_fn=trace_fn(lc),
             )
         else:
-            sol = lanczos_expm_action(op, b, cfg.m, cfg.t_end, lc, reorth=reorth)
+            sol = lanczos_expm_action(op, b, cfg.m, cfg.t_end, lc,
+                                      reorth=reorth,
+                                      breakdown_tol=cfg.breakdown_tol)
         return b, float(jax.block_until_ready(sol))
 
     t0 = time.perf_counter()

@@ -54,6 +54,9 @@ class BlockLanczosResult:
     trace: jax.Array
     basis: jax.Array | None
     beta_final: jax.Array
+    # True if the recurrence hit an (approximately) invariant subspace and
+    # was frozen (breakdown_tol > 0); trailing alpha/beta/trace rows are 0.
+    breakdown: jax.Array | None = None
 
 
 def _sym(g):
@@ -81,6 +84,7 @@ def _mix(s, x):
         "eig_backend",
         "eig_sweeps",
         "breakdown_eps",
+        "breakdown_tol",
         "trace_fn",
         "normalize",
     ),
@@ -96,6 +100,7 @@ def block_lanczos(
     eig_backend: str = "jacobi",
     eig_sweeps: int | None = None,
     breakdown_eps: float = 0.0,
+    breakdown_tol: float = 0.0,
     trace_fn=None,
     normalize: str = "sqrtm",
 ) -> BlockLanczosResult:
@@ -106,7 +111,20 @@ def block_lanczos(
     blocks) or "qr" (TSQR: beta_j = R upper triangular — never squares the
     condition number; BASELINE.json config 3's TSQR re-orth variant).  The
     downstream T assembly handles both (betas placed on the subdiagonal,
-    transposes on the superdiagonal)."""
+    transposes on the superdiagonal).
+
+    breakdown_tol > 0 FREEZES the recurrence (the block analogue of
+    vector_lanczos's guard) once the reciprocal condition estimate
+    sigma_min(beta_j)/||beta_j||_F falls below breakdown_tol: a converged
+    invariant subspace makes the residual Gram numerically singular,
+    after which the inverse factor amplifies rounding noise and Ritz
+    values ESCAPE the spectrum — unlike the scalar recurrence, whose
+    no-reorth drift Paige's analysis bounds, the unfrozen block
+    recurrence diverges even in f64.  Frozen steps emit zero
+    alpha/beta/trace rows (spectrally inert for top-k) and the result's
+    `breakdown` flag is set.  Use ~3e-3 (f32) / ~3e-6 (f64) for
+    reorth='none' runs; per-direction deflation at milder conditioning is
+    available separately via breakdown_eps (rank-revealing pinv)."""
     if reorth not in ("none", "full", "periodic", "selective"):
         raise ValueError(f"unknown reorth mode {reorth!r}")
     if normalize not in ("sqrtm", "qr"):
@@ -136,8 +154,15 @@ def block_lanczos(
     dist_mesh = getattr(a, "mesh", None)
     dist_axis = getattr(a, "axis", "rows")
 
+    def _fro(x):
+        return jnp.sqrt(jnp.sum(x * x))
+
     def normalize_block(wv):
-        """W = Q B (tall convention): returns block-major Q and B."""
+        """W = Q B (tall convention): returns block-major Q, B, and a
+        SCALE-FREE reciprocal-condition estimate of B for the breakdown
+        freeze — sigma_min(B)/||B||_F, with sigma_min bounded below by
+        min |R_ii| (QR path) / 1 over ||inv||_F (sqrtm path)."""
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
         if normalize == "qr":
             if dist_mesh is not None:
                 qT, r = tsqr_sharded(
@@ -155,12 +180,26 @@ def block_lanczos(
                 keep = (d > breakdown_eps * jnp.max(d)).astype(wv.dtype)
                 qf = qf * keep[None, :]
                 r = r * keep[:, None]
-            return qf.T.reshape(wv.shape), r
+            # min |R_ii| OVERestimates sigma_min (an ill-conditioned R can
+            # keep a large diagonal), so invert the p x p triangle:
+            # 1/||R^-1||_F <= sigma_min.
+            rsafe = r + jnp.where(
+                jnp.abs(jnp.diagonal(r)) <= tiny, tiny, 0.0
+            ) * jnp.eye(p, dtype=dtype)
+            inv_r = jax.scipy.linalg.solve_triangular(
+                rsafe, jnp.eye(p, dtype=dtype), lower=False
+            )
+            rcond = 1.0 / jnp.maximum(_fro(inv_r) * _fro(r), tiny)
+            return qf.T.reshape(wv.shape), r, rcond
         beta, inv = sqrtm_inv(_gram(wv, wv))
-        return _mix(inv, wv), beta  # reference mm_ts (block_lanczos.hpp:34)
+        rcond = 1.0 / jnp.maximum(_fro(inv) * _fro(beta), tiny)
+        # reference mm_ts (block_lanczos.hpp:34)
+        return _mix(inv, wv), beta, rcond
 
     # -- first half-iteration -------------------------------------------------
-    q0, beta0 = normalize_block(b)
+    # (a degenerate START block is the caller's bug, not a breakdown —
+    # its rcond is not checked)
+    q0, beta0, _rcond0 = normalize_block(b)
     w = a.mm(q0)
     alpha0 = _sym(_gram(w, q0))
     w = w - _mix(alpha0, q0)
@@ -172,9 +211,6 @@ def block_lanczos(
         basis0 = jnp.zeros((m,) + b.shape, dtype).at[0].set(q0)
     else:
         basis0 = jnp.zeros((1,) + b.shape, dtype)
-
-    def _fro(x):
-        return jnp.sqrt(jnp.sum(x * x))
 
     # Block-omega histories (selective reorth): Frobenius norms of the
     # alpha/beta blocks stand in for the scalar |alpha|/|beta| of Simon's
@@ -197,7 +233,7 @@ def block_lanczos(
         return wv
 
     def body(carry, j):
-        (q_prev, wv, basis, om_prev, om, na_hist, nb_hist, force) = carry
+        (q_prev, wv, basis, om_prev, om, na_hist, nb_hist, force, dead) = carry
 
         if reorth == "selective":
             # Block omega recurrence (Simon '84 generalized with block
@@ -233,7 +269,12 @@ def block_lanczos(
             force = trigger & jnp.logical_not(force)
             om_prev, om = om, om_new
 
-        q, beta = normalize_block(wv)
+        q, beta, rcond = normalize_block(wv)
+        if breakdown_tol > 0.0:
+            # freeze on (approximate) invariant subspace: see docstring.
+            dead = dead | (rcond <= breakdown_tol)
+            q = jnp.where(dead, jnp.zeros_like(q), q)
+            beta = jnp.where(dead, jnp.zeros_like(beta), beta)
         # A V_j = V_{j-1} B_j^T + V_j A_j + V_{j+1} B_{j+1}: subtract the
         # TRANSPOSED subdiagonal block (== beta for the symmetric sqrtm
         # path; required for the upper-triangular QR path).
@@ -261,13 +302,13 @@ def block_lanczos(
         nb_hist = jax.lax.dynamic_update_index_in_dim(
             nb_hist, _fro(beta), j, 0
         )
-        new_carry = (q, wn, basis, om_prev, om, na_hist, nb_hist, force)
+        new_carry = (q, wn, basis, om_prev, om, na_hist, nb_hist, force, dead)
         return new_carry, (alpha, beta, trace_at(q))
 
     carry0 = (
         q0, w, basis0,
         jnp.zeros((m,), dtype), omega0, na_hist0, nb_hist0,
-        jnp.asarray(False),
+        jnp.asarray(False), jnp.asarray(False),
     )
     if m > 1:
         carry, (alphas_r, betas_r, traces_r) = jax.lax.scan(
@@ -275,12 +316,14 @@ def block_lanczos(
         )
         basis_final = carry[2]
         w_final = carry[1]
+        dead_final = carry[8]
         alphas = jnp.concatenate([alpha0[None], alphas_r])
         betas = jnp.concatenate([beta0[None], betas_r])
         trace = jnp.concatenate([trace_at(q0)[None], traces_r])
     else:
         basis_final = basis0
         w_final = w
+        dead_final = jnp.asarray(False)
         alphas = alpha0[None]
         betas = beta0[None]
         trace = trace_at(q0)[None]
@@ -288,7 +331,9 @@ def block_lanczos(
     # true beta_m of the completed factorization: the symmetric factor of
     # the residual block left in the scan carry (one extra Gram + sqrtm;
     # valid for both normalize modes since only its norm enters bounds).
+    # A frozen run's residual is exactly zero (invariant subspace).
     beta_final, _ = sqrtm_inv(_gram(w_final, w_final))
+    beta_final = jnp.where(dead_final, jnp.zeros_like(beta_final), beta_final)
 
     return BlockLanczosResult(
         alphas=alphas,
@@ -296,4 +341,5 @@ def block_lanczos(
         trace=trace,
         basis=basis_final if store_basis else None,
         beta_final=beta_final,
+        breakdown=dead_final,
     )

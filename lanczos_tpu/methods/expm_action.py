@@ -26,7 +26,7 @@ from lanczos_tpu.ops.tridiag import (
 )
 
 
-@partial(jax.jit, static_argnames=("m", "reorth", "trace_fn"))
+@partial(jax.jit, static_argnames=("m", "reorth", "breakdown_tol", "trace_fn"))
 def lanczos_expm_action(
     a,
     b: jax.Array,
@@ -35,19 +35,21 @@ def lanczos_expm_action(
     lc: jax.Array | int,
     *,
     reorth: str = "none",
+    breakdown_tol: float = 0.0,
     trace_fn=None,
 ):
     """Scalar approximation of [expm(t_end*A) b]_{lc} via m-step Lanczos.
     For non-flat operator states pass trace_fn (see vector_lanczos)."""
-    res = vector_lanczos(a, b, m, lc, reorth=reorth, trace_fn=trace_fn)
+    res = vector_lanczos(a, b, m, lc, reorth=reorth,
+                         breakdown_tol=breakdown_tol, trace_fn=trace_fn)
     t = assemble_tridiagonal(res.alphas, res.betas[1:])
     e = expm_sym(t_end * t, backend="lax")
     # beta_0 * (expm(T) e1) . trace
     return res.betas[0] * jnp.sum(e[:, 0] * res.trace)
 
 
-@partial(jax.jit, static_argnames=("m", "reorth", "eig_backend", "trace_fn",
-                                   "normalize"))
+@partial(jax.jit, static_argnames=("m", "reorth", "eig_backend",
+                                   "breakdown_tol", "trace_fn", "normalize"))
 def block_lanczos_expm_action(
     a,
     b: jax.Array,
@@ -57,12 +59,14 @@ def block_lanczos_expm_action(
     *,
     reorth: str = "none",
     eig_backend: str = "jacobi",
+    breakdown_tol: float = 0.0,
     trace_fn=None,
     normalize: str = "sqrtm",
 ):
     """Row lc (length p) of expm(t_end*A) B via m-step block Lanczos.
     B is BLOCK-MAJOR (p, n); for non-flat operator states pass trace_fn."""
     res = block_lanczos(a, b, m, lc, reorth=reorth, eig_backend=eig_backend,
+                        breakdown_tol=breakdown_tol,
                         trace_fn=trace_fn, normalize=normalize)
     p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])

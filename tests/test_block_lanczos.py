@@ -260,3 +260,33 @@ def test_selective_reorth_ill_conditioned_block_start(rng):
         res_sel.alphas, res_sel.betas[1:]))
     ritz = np.sort(np.linalg.eigvalsh(t))[::-1][:3]
     np.testing.assert_allclose(ritz, np.sort(d)[::-1][:3], rtol=1e-3)
+
+
+@pytest.mark.parametrize("norm,backend", [("sqrtm", "newton"), ("qr", "lax")])
+def test_breakdown_freeze_keeps_ritz_in_spectrum(rng, norm, backend):
+    """Unlike scalar no-reorth Lanczos (whose drift Paige's analysis
+    bounds), the BLOCK recurrence diverges once well-separated top modes
+    converge: the residual Gram goes numerically singular and its inverse
+    factor amplifies f32 noise until Ritz values ESCAPE the spectrum.
+    breakdown_tol freezes at the (approximate) invariant subspace and
+    keeps every Ritz value inside [lam_min, lam_max]."""
+    n, p, m = 3000, 4, 30
+    d = np.concatenate([[500.0, 450.0, 400.0], 5 + rng.random(n - 3)])
+    op = MatrixOperator(jnp.asarray(np.diag(d), jnp.float32))
+    x = jnp.asarray(rng.standard_normal((p, n)), jnp.float32)
+
+    loose = block_lanczos(op, x, m, reorth="none", eig_backend=backend,
+                          normalize=norm)
+    t = np.asarray(assemble_block_tridiagonal(loose.alphas, loose.betas[1:]))
+    assert np.linalg.eigvalsh(t).max() > 550.0  # escapes without the guard
+
+    froz = block_lanczos(op, x, m, reorth="none", eig_backend=backend,
+                         normalize=norm, breakdown_tol=3e-3)
+    assert bool(froz.breakdown)
+    t = np.asarray(assemble_block_tridiagonal(froz.alphas, froz.betas[1:]))
+    w = np.linalg.eigvalsh(t)
+    assert w.max() <= 500.0 * (1 + 1e-3) and w.min() >= -1e-3 * 500.0
+    # the dominant converged mode survives the freeze (the cond-based
+    # trigger may fire before the 2nd/3rd modes fully settle)
+    np.testing.assert_allclose(w.max(), 500.0, rtol=5e-3)
+    assert np.all(np.isfinite(np.asarray(froz.beta_final)))
