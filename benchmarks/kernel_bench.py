@@ -203,6 +203,14 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
     return out
 
 
+def bench_spmm_stencil_bf16(n_grid: int):
+    """bfloat16-state Pallas stencil SpMM: halves the HBM traffic of the
+    memory-bound kernel (weights stay f32, f32 accumulation, one cast on
+    store — ~1e-2 relative operator error from input quantization; the
+    FDTD/expm streaming use case, not the orthogonality-critical one)."""
+    return bench_spmm_stencil(n_grid, dtype=jnp.bfloat16)
+
+
 def bench_copy_bw(rows: int, dtype=jnp.float32):
     """Measured copy-bandwidth roofline: y = x + 1 (one read + one write
     of the state) at the reference's SpMM state sizes — the
@@ -297,9 +305,11 @@ BENCHES = {
     "mm_tt2": lambda args: bench_mm_tt2(args.rows),
     "mm_ts": lambda args: bench_mm_ts(args.rows_ts),
     "sqrtm": lambda args: bench_sqrtm(),
+    "sqrtm_newton": lambda args: bench_sqrtm(backend="newton"),
     "spmm_ell": lambda args: bench_spmm_ell(args.grid_ell),
     "spmm_dia": lambda args: bench_spmm_dia(args.grid_dia),
     "spmm_stencil": lambda args: bench_spmm_stencil(args.grid),
+    "spmm_stencil_bf16": lambda args: bench_spmm_stencil_bf16(args.grid),
     "spmm_windowed": lambda args: bench_spmm_windowed(args.grid_dia),
     "spmm_bsr": lambda args: bench_spmm_bsr(args.grid_dia),
     "copy_bw": lambda args: bench_copy_bw(args.rows_copy),
