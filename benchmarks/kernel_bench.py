@@ -243,10 +243,19 @@ def bench_spmm_windowed(n_grid: int, dtype=jnp.float32):
 
     out = []
     key = jax.random.PRNGKey(0)
+    from lanczos_tpu.models.maxwell import maxwell_interleave_perm
+
     fixtures = [
         ("laplacian_2d", windowed_from_scipy(
             laplacian_2d_scipy(n_grid, n_grid).astype(np.float32))),
+        # structure-aware ordering: planes/chunk == ELL width (plain RCM
+        # scrambles the k-th nonzeros across 128-blocks -> ~34
+        # planes/chunk, ~7x more plane traffic)
         ("maxwell_w4", windowed_from_ell(
+            maxwell_ell_operator(64, 64, 64),
+            perm=maxwell_interleave_perm(64, 64, 64))),
+        # same matrix through plain RCM: the ordering-sensitivity row
+        ("maxwell_w4_rcm", windowed_from_ell(
             maxwell_ell_operator(64, 64, 64), reorder="rcm")),
     ]
     for name, a in fixtures:
