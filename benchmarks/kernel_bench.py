@@ -221,7 +221,10 @@ def bench_copy_bw(rows: int, dtype=jnp.float32):
     key = jax.random.PRNGKey(0)
     for p in [1, 4, 8]:
         x = jax.random.normal(key, (rows,) if p == 1 else (p, rows), dtype)
-        s = slope_time_chain(lambda y: y + 1.0, x, damp=None)
+        # multiplicative update: XLA strength-reduces a chained `y + 1`
+        # to a single `y + k` (the 1-D case measured an impossible
+        # 5.5 TB/s); `y * c` has no such closed form it exploits
+        s = slope_time_chain(lambda y: y * 1.0000001, x, damp=None)
         bs = jnp.dtype(dtype).itemsize
         bytes_moved = 2 * rows * max(p, 1) * bs
         out.append({"n_col": p, "rows": rows, "seconds": s,
@@ -281,31 +284,55 @@ def bench_spmm_windowed(n_grid: int, dtype=jnp.float32):
 
 
 def bench_spmm_bsr(n_grid: int, dtype=jnp.float32):
-    """BSR SpMM (BASELINE config 3's format) with a block-size sweep:
-    dense bs x bs blocks contract on the MXU via einsum + segment-sum."""
+    """BSR SpMM (BASELINE config 3's format), block-ELL layout: batched
+    MXU block products, fixed-width sum (no scatter).
+
+    Two fixtures: `blockstruct` is a block-tridiagonal matrix with
+    genuinely dense bs x bs blocks (the workload BSR exists for — zero
+    fill-in); `laplacian_2d` documents the format-mismatch cost on a
+    point matrix (5-22x zero fill-in inside the blocks).  For scattered
+    matrices the windowed-ELL kernel is the recommended path."""
+    import numpy as np
+    import scipy.sparse as sp
+
     from lanczos_tpu.models.laplacian import laplacian_2d_scipy
     from lanczos_tpu.ops.formats import bsr_from_scipy
 
-    a_sp = laplacian_2d_scipy(n_grid, n_grid)
     out = []
     key = jax.random.PRNGKey(0)
-    for bs in [4, 8, 16]:
-        a = bsr_from_scipy(a_sp, block_size=bs, dtype=dtype)
-        rows = a.shape[0]
-        nnz = a_sp.nnz
-        for p in [4]:
-            x = jax.random.normal(key, (p, rows), dtype)
-            s = slope_time_chain(lambda y, a: a.mm(y), x, a, damp=1e-1)
-            bsz = jnp.dtype(dtype).itemsize
-            stored = int(a.data.size)
-            bytes_moved = stored * bsz + a.block_cols.size * 4 \
-                + 2 * rows * p * bsz
-            out.append({
-                "block_size": bs, "n_col": p, "rows": rows,
-                "stored_nnz": stored, "seconds": s,
-                "nnz_per_s": nnz * p / s,
-                "gbps": bytes_moved / s / 1e9,
-            })
+    rng = np.random.default_rng(0)
+    lap = laplacian_2d_scipy(n_grid, n_grid)
+
+    def blockstruct(bs):
+        nbr = max(lap.shape[0] // bs, 2)
+        tri = sp.diags([np.ones(nbr - 1), np.ones(nbr), np.ones(nbr - 1)],
+                       [-1, 0, 1], format="coo")
+        dense = rng.standard_normal((tri.nnz, bs, bs)) * 0.1
+        return sp.bsr_matrix(
+            (dense, (tri.row, tri.col)), blocksize=(bs, bs)
+        ).tocsr()
+
+    fixtures = [("blockstruct", blockstruct), ("laplacian_2d", lambda bs: lap)]
+    for name, make in fixtures:
+        for bs in [8, 16, 32] if name == "blockstruct" else [8]:
+            a_sp = make(bs)
+            a = bsr_from_scipy(a_sp, block_size=bs, dtype=dtype)
+            rows = a.shape[0]
+            nnz = a_sp.nnz
+            for p in [4, 8]:
+                x = jax.random.normal(key, (p, rows), dtype)
+                s = slope_time_chain(lambda y, a: a.mm(y), x, a, damp=1e-1)
+                bsz = jnp.dtype(dtype).itemsize
+                stored = int(a.data.size)
+                bytes_moved = stored * bsz + a.block_cols.size * 4 \
+                    + 2 * rows * p * bsz
+                out.append({
+                    "fixture": name, "block_size": bs, "n_col": p,
+                    "rows": rows, "stored_nnz": stored, "seconds": s,
+                    "nnz_per_s": nnz * p / s,
+                    "stored_nnz_per_s": stored * p / s,
+                    "gbps": bytes_moved / s / 1e9,
+                })
     return out
 
 
