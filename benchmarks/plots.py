@@ -246,6 +246,16 @@ def main():
         ax.axhline(0, color="#999999", lw=1)
         _style(ax, "per-vector speedup, block vs single Lanczos",
                "block width N_COL", "speedup %")
+        # The T4's block win comes from amortizing the gathered-ELL
+        # index traffic over N_COL right-hand sides; the TPU stencil
+        # SpMM has ZERO index traffic, so blocks only add Gram/sqrtm/
+        # update passes per vector and the per-vector ratio goes
+        # negative.  Block width on TPU buys subspace quality
+        # (multiplicity resolution), not per-vector throughput.
+        ax.text(0.02, 0.03, "TPU stencil has no index traffic to\n"
+                "amortize - block adds Gram/sqrtm cost",
+                transform=ax.transAxes, fontsize=7, color="#555555",
+                va="bottom")
         ax.legend(fontsize=8, frameon=False)
         _save(fig, args.out, "block_speedup.png")
 

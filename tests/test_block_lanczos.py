@@ -290,3 +290,35 @@ def test_breakdown_freeze_keeps_ritz_in_spectrum(rng, norm, backend):
     # trigger may fire before the 2nd/3rd modes fully settle)
     np.testing.assert_allclose(w.max(), 500.0, rtol=5e-3)
     assert np.all(np.isfinite(np.asarray(froz.beta_final)))
+
+
+def test_bsr_tsqr_top20_eigenpairs(rng):
+    """BASELINE config 3 end to end: block Lanczos on a BSR matrix
+    (genuinely block-structured, bs=8) with TSQR normalization
+    (normalize='qr') and full reorth, top-20 eigenpairs vs dense eigh."""
+    import scipy.sparse as sp
+
+    from lanczos_tpu.ops.formats import bsr_from_scipy
+
+    bs, nbr = 8, 96  # 768 unknowns, block-tridiagonal dense blocks
+    tri = sp.diags([np.ones(nbr - 1), np.ones(nbr), np.ones(nbr - 1)],
+                   [-1, 0, 1]).tocsr()
+    blocks = rng.standard_normal((tri.nnz, bs, bs)) * 0.2
+    a_sp = sp.bsr_matrix((blocks, tri.indices, tri.indptr),
+                         shape=(nbr * bs, nbr * bs)).tocsr()
+    a_sp = (0.5 * (a_sp + a_sp.T)).tocsr()
+    a = bsr_from_scipy(a_sp, block_size=bs, dtype=jnp.float64)
+
+    p, m, k = 8, 48, 20
+    b = jnp.asarray(rng.standard_normal((p, a_sp.shape[0])))
+    vals, vecs, resid = block_lanczos_eigsh(
+        a, b, m=m, k=k, which="LA", reorth="full", normalize="qr",
+        eig_backend="lax", compute_vectors=True,
+    )
+    ref = np.linalg.eigvalsh(a_sp.toarray())[::-1][:k]
+    np.testing.assert_allclose(np.asarray(vals), ref, rtol=1e-6, atol=1e-7)
+    # residual bounds hold: ||A y - theta y|| <= resid
+    y = np.asarray(vecs)
+    for i in range(k):
+        true_res = np.linalg.norm(a_sp @ y[:, i] - float(vals[i]) * y[:, i])
+        assert true_res <= float(resid[i]) + 1e-8
