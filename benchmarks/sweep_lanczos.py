@@ -145,7 +145,9 @@ def main():
     ap.add_argument("--n-min", type=int, default=10)
     ap.add_argument("--n-max", type=int, default=None,
                     help="max grid size (default: 200 on TPU, 16 on CPU)")
-    ap.add_argument("--factor", type=float, default=1.1)
+    # 1.25 ~ 15 sizes over 10..200 (the reference's 1.1 ~ 32 sizes takes
+    # hours of compiles on the tunneled chip; the curve shape is identical)
+    ap.add_argument("--factor", type=float, default=1.25)
     ap.add_argument("--m1", type=int, default=2)
     ap.add_argument("--m2", type=int, default=12)
     ap.add_argument("--reorth", default="none")
@@ -180,6 +182,9 @@ def main():
 
     rows = []
     p = args.n_col if args.block else 1
+    csv_f = csv_w = None
+    if args.csv:  # incremental: a stage timeout loses nothing
+        csv_f = open(args.csv, "w", newline="")
     for N in sizes:
         if args.operator == "pallas" and not on_cpu:
             op = PallasMaxwellOperator.create(N, N, N, tz=16)
@@ -212,15 +217,18 @@ def main():
             "gflops_model": fl / sec / 1e9,
         }
         rows.append(row)
+        if csv_f is not None:
+            if csv_w is None:
+                csv_w = csv.DictWriter(csv_f, fieldnames=list(row))
+                csv_w.writeheader()
+            csv_w.writerow(row)
+            csv_f.flush()
         print("  ".join(
             f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
             for k, v in row.items()), flush=True)
 
-    if args.csv:
-        with open(args.csv, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0]))
-            w.writeheader()
-            w.writerows(rows)
+    if csv_f is not None:
+        csv_f.close()
         print(f"wrote {args.csv}")
 
 
