@@ -47,15 +47,26 @@ def operator_from_file(
 
     format: "ell" | "csr" | "coo" | "bsr" | "dia" (single-chip XLA
     containers) | "windowed" (the Pallas band-window fast path for
-    assembled matrices), or with `mesh` given: "halo" (banded
-    row-sharded ELL, ppermute halo exchange) | "windowed" (row-sharded
-    Pallas fast path) | "gather" (arbitrary sparsity, all-gather).
+    assembled matrices) | "auto" (performance-ordered selection, see
+    below), or with `mesh` given: "halo" (banded row-sharded ELL,
+    ppermute halo exchange) | "windowed" (row-sharded Pallas fast path)
+    | "gather" (arbitrary sparsity, all-gather) | "auto".
+
+    "auto" picks by measured TPU kernel rates: a matrix whose nonzeros
+    lie on few distinct diagonals goes to DIA (gather-free shifted
+    slices, ~at the copy-bandwidth roofline); anything else banded
+    enough to plan goes to the windowed-ELL Pallas kernel; the gathered
+    ELL container is the last resort (XLA gathers do not map to TPU
+    tiles — orders of magnitude slower).
     """
     import jax.numpy as jnp
 
     if dtype is None:
         dtype = jnp.float32
     a = load_sparse(path)
+
+    if format == "auto":
+        return auto_operator(a, dtype=dtype, mesh=mesh, reorder=reorder)
 
     if mesh is not None:
         from lanczos_tpu.parallel import gather_sharded_ell, halo_sharded_ell
@@ -88,3 +99,49 @@ def operator_from_file(
     if format not in builders:
         raise ValueError(f"unknown format {format!r}")
     return builders[format](a, dtype=dtype)
+
+
+def auto_operator(a, *, dtype=None, mesh=None, reorder: str = "auto",
+                  max_diags: int = 32):
+    """Performance-ordered operator selection for an assembled scipy
+    matrix (see `operator_from_file(format="auto")`): DIA when the
+    nonzeros lie on <= max_diags distinct diagonals, else the
+    windowed-ELL Pallas kernel, else gathered ELL."""
+    import jax.numpy as jnp
+
+    import scipy.sparse as sp
+
+    if dtype is None:
+        dtype = jnp.float32
+    a = a.tocsr() if sp.issparse(a) else sp.csr_matrix(np.asarray(a))
+
+    coo = a.tocoo()
+    ndiag = len(np.unique(coo.col.astype(np.int64) - coo.row)) if coo.nnz \
+        else 1
+
+    if mesh is None:
+        from lanczos_tpu.ops import formats as F
+
+        if a.shape[0] == a.shape[1] and ndiag <= max_diags:
+            return F.dia_from_scipy(a, dtype=dtype)
+        from lanczos_tpu.ops.pallas.window_ell import (
+            PlanError,
+            windowed_from_scipy,
+        )
+
+        try:
+            return windowed_from_scipy(a, dtype=dtype, reorder=reorder)
+        except PlanError:
+            return F.ell_from_scipy(a, dtype=dtype)
+
+    from lanczos_tpu.ops.pallas.window_ell import PlanError
+    from lanczos_tpu.parallel import gather_sharded_ell, halo_sharded_ell
+    from lanczos_tpu.parallel.dist_windowed import halo_sharded_windowed
+
+    try:
+        return halo_sharded_windowed(a, mesh, dtype=dtype, reorder=reorder)
+    except (PlanError, ValueError):
+        try:
+            return halo_sharded_ell(a, mesh, dtype=dtype, reorder=reorder)
+        except ValueError:
+            return gather_sharded_ell(a, mesh, dtype=dtype)

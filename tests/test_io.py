@@ -1,12 +1,14 @@
 """Matrix IO: .mtx (native + scipy paths) and .npz loaders, operator
 construction (BASELINE configs 4-5 entry point)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
 from scipy.io import mmwrite
 
 from lanczos_tpu.io import load_sparse, operator_from_file
+from lanczos_tpu.models.laplacian import laplacian_2d_scipy
 
 
 def _random_sym(n, rng, density=0.05):
@@ -69,3 +71,34 @@ def test_operator_from_file_distributed(tmp_path, rng):
     x = rng.standard_normal(n).astype(np.float32)
     y = np.asarray(op.unpad_vector(op.mv(op.pad_vector(x))))
     np.testing.assert_allclose(y, a @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_auto_operator_selection(rng):
+    """format='auto' picks by kernel performance class: DIA for
+    few-diagonal matrices, windowed-ELL for banded, gathered ELL as the
+    last resort for unplannable sparsity."""
+    import scipy.sparse as sp
+
+    from lanczos_tpu.io import auto_operator
+    from lanczos_tpu.ops.formats import DiaMatrix, EllMatrix
+
+    lap = laplacian_2d_scipy(20, 20)
+    assert isinstance(auto_operator(lap), DiaMatrix)
+
+    # banded but many-diagonal: windowed
+    n = 2000
+    offs = list(range(-20, 21))
+    band = sp.diags([rng.standard_normal(n - abs(o)) for o in offs],
+                    offs).tocsr()
+    op = auto_operator(band)
+    from lanczos_tpu.ops.pallas.window_ell import WindowedEllMatrix
+    assert isinstance(op, WindowedEllMatrix)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = op.unpermute(op.mv(op.permute(jnp.asarray(x, jnp.float32))))
+    ref = band @ x
+    assert np.linalg.norm(np.asarray(y)[:n] - ref) < 1e-4 * np.linalg.norm(ref)
+
+    # scattered random: plan fails -> gathered ELL fallback
+    scat = sp.random(1500, 1500, density=0.004, random_state=0,
+                     format="csr")
+    assert isinstance(auto_operator(scat), EllMatrix)
