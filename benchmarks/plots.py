@@ -180,10 +180,12 @@ def main():
         _save(fig, args.out, "spmm_stencil.png")
 
     # 6a: block-Lanczos per-iteration time vs problem size
+    rows = []
     if os.path.exists(args.block_csv):
         with open(args.block_csv) as f:
             rows = [r for r in csv.DictReader(f)
                     if float(r["seconds_per_iter"]) > 2e-9]
+    if rows:
         fig, ax = plt.subplots(figsize=(5.2, 3.4))
         ax.plot([int(r["n"]) for r in rows],
                 [float(r["seconds_per_iter"]) for r in rows],
@@ -229,9 +231,11 @@ def main():
     # 6c: per-vector block-vs-single speedup (lanczos_plots.m:150) from a
     # --sweep-ncol run of sweep_lanczos.py
     ncol_csv = os.path.join(args.out, "file_BL_ncol.csv")
+    rows = []
     if os.path.exists(ncol_csv):
         with open(ncol_csv) as f:
             rows = [r for r in csv.DictReader(f) if int(r["p"]) > 1]
+    if rows:
         fig, ax = plt.subplots(figsize=(5.2, 3.4))
         ax.plot([int(r["p"]) for r in rows],
                 [float(r["per_vector_speedup_pct"]) for r in rows],
