@@ -306,10 +306,14 @@ def bench_spmm_bsr(n_grid: int, dtype=jnp.float32):
     def blockstruct(bs):
         nbr = max(lap.shape[0] // bs, 2)
         tri = sp.diags([np.ones(nbr - 1), np.ones(nbr), np.ones(nbr - 1)],
-                       [-1, 0, 1], format="coo")
+                       [-1, 0, 1], format="csr")
         dense = rng.standard_normal((tri.nnz, bs, bs)) * 0.1
+        # (data, indices, indptr) BSR constructor: block k of row-block i
+        # sits at dense[indptr[i]:indptr[i+1]] — the coo-pair form only
+        # accepts 1-D scalar data
         return sp.bsr_matrix(
-            (dense, (tri.row, tri.col)), blocksize=(bs, bs)
+            (dense, tri.indices, tri.indptr),
+            shape=(nbr * bs, nbr * bs),
         ).tocsr()
 
     fixtures = [("blockstruct", blockstruct), ("laplacian_2d", lambda bs: lap)]

@@ -20,7 +20,7 @@ run() {
 # 1. per-kernel microbenches -> kernels.json (ALL entries, incl. the
 #    copy-bandwidth roofline, windowed/BSR SpMM and both sqrtm backends)
 run kernel_bench 4000 python benchmarks/kernel_bench.py \
-  --json benchmarks/results/kernels.json
+  --json benchmarks/results/kernels.json --merge
 
 # 2. whole-algorithm N_COL sweep 2..18 + single-vector baseline ->
 #    per-vector speedup panel data (lanczos_plots.m:141-150 parity)

@@ -116,7 +116,7 @@ def main():
     ap.add_argument("--rows", type=int, default=10_485_760)
     ap.add_argument("--p", type=int, default=8)
     ap.add_argument("--m", type=int, default=12)
-    ap.add_argument("--reorth", default="periodic")
+    ap.add_argument("--reorth", default="full")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--dist", action="store_true",
@@ -187,20 +187,27 @@ def main():
           f"({out['spmm_pct_of_copy_bw']:.0f}% of measured copy BW "
           f"{out['copy_gbps']:.0f} GB/s)", flush=True)
 
-    # Whole-algorithm: m-step block Lanczos.  reorth='periodic' stores the
+    # Whole-algorithm: m-step block Lanczos.  reorth='full' stores the
     # basis (m * p * n * 4B = 4 GB at the default 10.5M rows — fits HBM
     # next to the ~1.3 GB plane arrays) and is REQUIRED for correctness
-    # here: with reorth='none' the block recurrence diverges once the
-    # well-separated top modes converge (Ritz values escape the spectrum
-    # even in f64 — see block_lanczos's breakdown_tol docstring), unlike
-    # the scalar recurrence Paige's analysis bounds.  breakdown_tol is the
-    # safety freeze for an exact invariant subspace.
+    # here: with reorth='none' (or skipped-step 'periodic') the block
+    # recurrence diverges once the well-separated top modes converge —
+    # normalization amplifies the un-orthogonalized residual's noise and
+    # Ritz values escape the spectrum (see block_lanczos's breakdown_tol
+    # / replace_dead docstrings), unlike the scalar recurrence Paige's
+    # analysis bounds.
     op = PaddedWindowedOperator(A)
     t0 = time.time()
     res = jax.block_until_ready(
-        # newton sqrtm: ~5x less sequential small-eig latency per step
+        # TSQR normalization (never squares the condition number — the
+        # sqrtm path diverges once the well-separated modes converge and
+        # the residual Gram goes numerically singular), adaptive
+        # dead-direction replacement (replace_dead: converged directions
+        # are restarted as fresh basis-orthogonal vectors), newton sqrtm
+        # only for the final-bound fallback paths.
         block_lanczos(op, Xp, args.m, reorth=args.reorth,
-                      eig_backend="newton", breakdown_tol=1e-4)
+                      eig_backend="newton", normalize="qr",
+                      breakdown_eps=1e-4, replace_dead=True)
     )
     out["lanczos_seconds"] = time.time() - t0
     curve = convergence_curve(

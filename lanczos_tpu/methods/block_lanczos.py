@@ -34,6 +34,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lanczos_tpu.ops.precision import HIGHEST
+
 from lanczos_tpu.ops.operator import LinearOperator
 from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
 from lanczos_tpu.ops.tsqr import tsqr, tsqr_sharded
@@ -66,13 +68,13 @@ def _sym(g):
 def _gram(x, y):
     """x^T y over the state axes -> (p, q) on the MXU (reference mm_tt /
     mm_tt2 kernels); x: (p, *state), y: (q, *state)."""
-    return jnp.einsum("p...,q...->pq", x, y, preferred_element_type=x.dtype)
+    return jnp.einsum("p...,q...->pq", x, y, preferred_element_type=x.dtype, precision=HIGHEST)
 
 
 def _mix(s, x):
     """Columns-combination x <- s^T-applied block: out[j] = sum_k s[k,j] x[k]
     (the reference's tall x small mm_ts, block-major)."""
-    return jnp.einsum("kj,k...->j...", s, x, preferred_element_type=x.dtype)
+    return jnp.einsum("kj,k...->j...", s, x, preferred_element_type=x.dtype, precision=HIGHEST)
 
 
 @partial(
@@ -87,6 +89,7 @@ def _mix(s, x):
         "breakdown_tol",
         "trace_fn",
         "normalize",
+        "replace_dead",
     ),
 )
 def block_lanczos(
@@ -103,6 +106,7 @@ def block_lanczos(
     breakdown_tol: float = 0.0,
     trace_fn=None,
     normalize: str = "sqrtm",
+    replace_dead: bool = False,
 ) -> BlockLanczosResult:
     """b: (p, *state_shape), block-major.  `trace_fn(q) -> (p,)` overrides
     the default receiver extraction (flat index lc per block column).
@@ -124,11 +128,34 @@ def block_lanczos(
     alpha/beta/trace rows (spectrally inert for top-k) and the result's
     `breakdown` flag is set.  Use ~3e-3 (f32) / ~3e-6 (f64) for
     reorth='none' runs; per-direction deflation at milder conditioning is
-    available separately via breakdown_eps (rank-revealing pinv)."""
+    available separately via breakdown_eps (rank-revealing pinv).
+
+    replace_dead=True (requires normalize='qr', breakdown_eps > 0, and a
+    basis-keeping reorth mode) turns the freeze into ADAPTIVE block
+    Lanczos: directions whose R diagonal collapses below
+    breakdown_eps * max|R_ii| — converged invariant directions whose
+    residual is pure rounding noise — are replaced by fresh deterministic
+    random vectors orthogonalized against the stored basis and
+    re-orthonormalized (TSQR), with their beta rows zeroed (the restart
+    decouples them from the previous block in T).  This keeps the FULL
+    block width hunting for interior eigenvalues after the dominant modes
+    converge, instead of dragging amplified noise through the recurrence
+    (the failure mode on matrices with a few well-separated modes: the
+    residual block goes numerically rank-deficient within 2-3 steps and
+    unfrozen Ritz values escape the spectrum).  The reference has no
+    analogue — its sqrtm normalization divides by ~0 (spmv_spmm-era
+    my_sqrtm semantics) and diverges."""
     if reorth not in ("none", "full", "periodic", "selective"):
         raise ValueError(f"unknown reorth mode {reorth!r}")
     if normalize not in ("sqrtm", "qr"):
         raise ValueError(f"unknown normalize mode {normalize!r}")
+    if replace_dead and (
+        normalize != "qr" or breakdown_eps <= 0.0 or reorth == "none"
+    ):
+        raise ValueError(
+            "replace_dead=True requires normalize='qr', breakdown_eps > 0 "
+            "and a basis-keeping reorth mode (full/periodic/selective)"
+        )
     need_basis = store_basis or reorth in ("full", "periodic", "selective")
     p = b.shape[0]
     dtype = b.dtype
@@ -224,11 +251,11 @@ def block_lanczos(
         # W -= Q_k (Q_k^T W) over all valid blocks, twice (CGS2).
         for _ in range(2):
             coeffs = jnp.einsum(
-                "ki...,j...->kij", basis, wv, preferred_element_type=dtype
+                "ki...,j...->kij", basis, wv, preferred_element_type=dtype, precision=HIGHEST
             )
             coeffs = coeffs * valid_mask[:, None, None]
             wv = wv - jnp.einsum(
-                "kij,ki...->j...", coeffs, basis, preferred_element_type=dtype
+                "kij,ki...->j...", coeffs, basis, preferred_element_type=dtype, precision=HIGHEST
             )
         return wv
 
@@ -261,15 +288,76 @@ def block_lanczos(
             trigger = force | (
                 jnp.max(jnp.abs(jnp.where(older, om_new, 0.0))) > sqrt_eps
             )
-            valid = (karr <= j - 1).astype(dtype)
-            wv = jax.lax.cond(
-                trigger, lambda v: block_cgs2(v, basis, valid), lambda v: v, wv
-            )
             om_new = jnp.where(trigger & (karr <= j - 1), eps, om_new)
             force = trigger & jnp.logical_not(force)
             om_prev, om = om, om_new
 
         q, beta, rcond = normalize_block(wv)
+
+        # POST-normalization basis cleanup.  Orthogonalizing only the
+        # residual (the classic placement) is not enough: normalization
+        # amplifies the residual's eps-level basis components by
+        # 1/sigma_i in each nearly-dead direction, so q re-acquires
+        # O(eps/breakdown_eps) overlap with converged basis vectors and
+        # the computed T drifts off V^T A V (observed: 2.5e-2 overlap,
+        # 1e-3-relative Ritz errors with tiny claimed bounds on a matrix
+        # with well-separated converged modes).  Cleaning q itself —
+        # CGS2 against the basis, within-block re-QR, and folding the
+        # correction R_2 into beta — restores eps-level orthogonality at
+        # eps-level T perturbation: the discarded basis components carry
+        # weight (eps/sigma_i) * sigma_i = eps in the factorization
+        # W = Q beta, because the amplified directions are exactly the
+        # ones with tiny beta rows.
+        if reorth == "full":
+            do_clean = jnp.asarray(True)
+        elif reorth == "periodic":
+            do_clean = (j % 2) == 0
+        elif reorth == "selective":
+            do_clean = trigger
+        else:
+            do_clean = None
+        if do_clean is not None:
+            if breakdown_eps > 0.0:
+                d0 = jnp.abs(jnp.diagonal(beta))
+                keep = (d0 > breakdown_eps * jnp.max(d0)).astype(dtype)
+            else:
+                keep = jnp.ones((p,), dtype)
+            if replace_dead:
+                do_clean = do_clean | jnp.any(keep < 1.0)
+
+            def _clean(qb):
+                qv, bv = qb
+                if replace_dead:
+                    # adaptive restart (see docstring): refill collapsed
+                    # directions with deterministic noise; the CGS2 +
+                    # re-QR below turns it into fresh basis-orthogonal
+                    # unit directions, and the zeroed beta rows decouple
+                    # them from the previous block in T.
+                    key = jax.random.fold_in(jax.random.PRNGKey(17), j)
+                    mask = (1.0 - keep).reshape((p,) + (1,) * (qv.ndim - 1))
+                    qv = qv + jax.random.normal(key, qv.shape, dtype) * mask
+                valid = (karr <= j - 1).astype(dtype)
+                qv = block_cgs2(qv, basis, valid)
+                if dist_mesh is not None:
+                    qT, r2 = tsqr_sharded(
+                        qv.reshape(p, -1), dist_mesh, axis=dist_axis
+                    )
+                    qv = qT.reshape(qv.shape)
+                else:
+                    qf, r2 = tsqr(qv.reshape(p, -1).T)
+                    qv = qf.T.reshape(qv.shape)
+                bv = jnp.matmul(r2, bv, precision=HIGHEST)
+                if not replace_dead:
+                    # deflation: the within-block re-QR refills exactly-
+                    # zero (collapsed) directions with arbitrary
+                    # completion vectors — re-zero them
+                    qv = qv * keep.reshape((p,) + (1,) * (qv.ndim - 1))
+                bv = bv * keep[:, None]
+                return qv, bv
+
+            q, beta = jax.lax.cond(
+                do_clean, _clean, lambda qb: qb, (q, beta)
+            )
         if breakdown_tol > 0.0:
             # freeze on (approximate) invariant subspace: see docstring.
             dead = dead | (rcond <= breakdown_tol)
@@ -285,16 +373,10 @@ def block_lanczos(
         if need_basis:
             basis = jax.lax.dynamic_update_index_in_dim(basis, q, j, 0)
         if reorth == "full":
+            # residual-side pass: keeps the NEXT normalization's input
+            # clean so the q-side cleanup above only has eps-level work
             valid = (karr <= j).astype(dtype)
             wn = block_cgs2(wn, basis, valid)
-        elif reorth == "periodic":
-            valid = (karr <= j).astype(dtype)
-            wn = jax.lax.cond(
-                (j % 2) == 0,
-                lambda v: block_cgs2(v, basis, valid),
-                lambda v: v,
-                wn,
-            )
 
         na_hist = jax.lax.dynamic_update_index_in_dim(
             na_hist, _fro(alpha), j, 0
@@ -328,11 +410,21 @@ def block_lanczos(
         betas = beta0[None]
         trace = trace_at(q0)[None]
 
-    # true beta_m of the completed factorization: the symmetric factor of
-    # the residual block left in the scan carry (one extra Gram + sqrtm;
-    # valid for both normalize modes since only its norm enters bounds).
+    # true beta_m of the completed factorization, from the residual block
+    # left in the scan carry (only its norm enters the Ritz bounds).  The
+    # qr path takes the TSQR R factor directly — never forms the Gram
+    # matrix, whose squared condition number (and a possibly singular
+    # residual after convergence) breaks the sqrtm backends.
     # A frozen run's residual is exactly zero (invariant subspace).
-    beta_final, _ = sqrtm_inv(_gram(w_final, w_final))
+    if normalize == "qr":
+        if dist_mesh is not None:
+            _, beta_final = tsqr_sharded(
+                w_final.reshape(p, -1), dist_mesh, axis=dist_axis
+            )
+        else:
+            _, beta_final = tsqr(w_final.reshape(p, -1).T)
+    else:
+        beta_final, _ = sqrtm_inv(_gram(w_final, w_final))
     beta_final = jnp.where(dead_final, jnp.zeros_like(beta_final), beta_final)
 
     return BlockLanczosResult(

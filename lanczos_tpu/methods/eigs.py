@@ -15,6 +15,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lanczos_tpu.ops.precision import HIGHEST
+
 from lanczos_tpu.methods.block_lanczos import block_lanczos
 from lanczos_tpu.methods.vector_lanczos import vector_lanczos
 from lanczos_tpu.ops.tridiag import (
@@ -65,7 +67,7 @@ def lanczos_eigsh(
     vecs = None
     if compute_vectors:
         vecs = jnp.einsum(
-            "mn,mk->nk", res.basis, s[:, idx], preferred_element_type=b.dtype
+            "mn,mk->nk", res.basis, s[:, idx], preferred_element_type=b.dtype, precision=HIGHEST
         )
     return vals, vecs, resid
 
@@ -102,12 +104,13 @@ def block_lanczos_eigsh(
     # (symmetric factor of the final residual block, res.beta_final —
     # res.betas[-1] would be beta_{m-1})
     tail = s[-p:, :]  # (p, m*p)
-    resid = jnp.linalg.norm(res.beta_final @ tail[:, idx], axis=0)
+    resid = jnp.linalg.norm(
+        jnp.matmul(res.beta_final, tail[:, idx], precision=HIGHEST), axis=0)
     vecs = None
     if compute_vectors:
         # basis: (m, p, n) block-major; T ordering is j*p + c
         basis_flat = res.basis.reshape(m * p, -1)
         vecs = jnp.einsum(
-            "tn,tk->nk", basis_flat, s[:, idx], preferred_element_type=b.dtype
+            "tn,tk->nk", basis_flat, s[:, idx], preferred_element_type=b.dtype, precision=HIGHEST
         )
     return vals, vecs, resid

@@ -17,6 +17,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lanczos_tpu.ops.precision import HIGHEST
+
 from lanczos_tpu.methods.block_lanczos import block_lanczos
 from lanczos_tpu.methods.vector_lanczos import vector_lanczos
 from lanczos_tpu.ops.smalleig import expm_sym
@@ -71,6 +73,7 @@ def block_lanczos_expm_action(
     p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])
     e = expm_sym(t_end * t, backend="lax")
-    f1 = e[:, :p] @ res.betas[0]  # expm(T) E_1 sqrtm(B^T B)
+    f1 = jnp.matmul(e[:, :p], res.betas[0],
+                    precision=HIGHEST)  # expm(T) E_1 sqrtm(B^T B)
     q = res.trace.reshape(-1)  # (m*p,)
-    return q @ f1
+    return jnp.matmul(q, f1, precision=HIGHEST)

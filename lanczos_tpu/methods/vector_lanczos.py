@@ -27,6 +27,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lanczos_tpu.ops.precision import HIGHEST
+
 from lanczos_tpu.ops.operator import LinearOperator
 
 
@@ -59,8 +61,9 @@ def _cgs2(wv, basis, valid_mask):
     currently valid basis rows.  Two MXU-shaped products per pass; works
     for any state shape (basis is (m, *state))."""
     for _ in range(2):
-        coeffs = jnp.einsum("k...,...->k", basis, wv)
-        wv = wv - jnp.einsum("k,k...->...", valid_mask * coeffs, basis)
+        coeffs = jnp.einsum("k...,...->k", basis, wv, precision=HIGHEST)
+        wv = wv - jnp.einsum("k,k...->...", valid_mask * coeffs, basis,
+                         precision=HIGHEST)
     return wv
 
 

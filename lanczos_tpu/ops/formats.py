@@ -21,6 +21,8 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+
+from lanczos_tpu.ops.precision import HIGHEST
 import numpy as np
 
 from lanczos_tpu.ops.operator import LinearOperator
@@ -93,7 +95,7 @@ class EllMatrix(LinearOperator):
         gathered = jnp.take(X, self.indices, axis=1)  # (p, rows_pad, width)
         y = jnp.einsum(
             "rw,prw->pr", self.data, gathered,
-            preferred_element_type=self.data.dtype,
+            preferred_element_type=self.data.dtype, precision=HIGHEST,
         )
         return y[:, : self.n_rows_true]
 
@@ -369,7 +371,7 @@ class BsrMatrix(LinearOperator):
         # replaces the scatter
         Yb = jnp.einsum(
             "rwij,prwj->pri", self.data, gathered,
-            preferred_element_type=self.dtype,
+            preferred_element_type=self.dtype, precision=HIGHEST,
         )  # (p, nbr, bs)
         out = jnp.reshape(Yb, (p, -1))[:, : self.n_rows_true]
         return out[0] if squeeze else out

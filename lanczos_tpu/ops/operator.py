@@ -15,6 +15,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from lanczos_tpu.ops.precision import HIGHEST
+
 
 class LinearOperator(abc.ABC):
     """A symmetric linear operator y = A @ x usable inside jit/scan.
@@ -77,11 +79,11 @@ class MatrixOperator(LinearOperator):
         return self.a.dtype
 
     def mv(self, x):
-        return self.a @ x
+        return jnp.matmul(self.a, x, precision=HIGHEST)
 
     def mm(self, X):
         # X block-major (p, n): (A X^T)^T = X A^T
-        return X @ self.a.T
+        return jnp.matmul(X, self.a.T, precision=HIGHEST)
 
     def tree_flatten(self):
         return (self.a,), None

@@ -19,6 +19,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from lanczos_tpu.ops.precision import HIGHEST
 import numpy as np
 
 
@@ -86,11 +88,11 @@ def jacobi_eigh(a: jax.Array, sweeps: int = 10):
         j = j.at[:, ii, jj].set(s)
         j = j.at[:, jj, ii].set(-s)
         a_new = jnp.einsum(
-            "bki,bkl,blj->bij", j, a_, j, preferred_element_type=a_.dtype
+            "bki,bkl,blj->bij", j, a_, j, preferred_element_type=a_.dtype, precision=HIGHEST
         )
         # re-symmetrize to kill rounding drift
         a_new = 0.5 * (a_new + jnp.swapaxes(a_new, -1, -2))
-        v_new = jnp.einsum("bkl,blj->bkj", v_, j, preferred_element_type=a_.dtype)
+        v_new = jnp.einsum("bkl,blj->bkj", v_, j, preferred_element_type=a_.dtype, precision=HIGHEST)
         return (a_new, v_new), None
 
     sched = jnp.asarray(schedule)
@@ -143,8 +145,19 @@ def newton_sqrtm_invsqrtm(a: jax.Array, iters: int = 18):
     (0, 1], where the iteration is globally convergent; the early phase
     grows the smallest eigenvalue's residual product by ~2.25x per step,
     so `iters` = 18 resolves condition numbers up to ~1e7 — beyond f32's
-    usable range.  NOT rank-revealing: a (near-)singular A diverges in Z,
-    so breakdown handling (`breakdown_eps > 0`) must use the eigh path.
+    usable range.  NOT rank-revealing: breakdown handling
+    (`breakdown_eps > 0`) must use the eigh path.
+
+    A relative Tikhonov floor `A + 16*eps*||A||_F*I` caps the condition
+    number inside the iteration's convergence domain: without it an
+    exactly/nearly singular Gram matrix (block-Lanczos breakdown — an
+    invariant subspace makes the residual Gram rank-deficient) drives Z
+    to inf/NaN and poisons everything downstream, including the
+    beta_final bound of a run that never even used this inverse.  The
+    floor shifts well-conditioned results by a relative ~1e-6 (f32) —
+    below the backend's own accuracy — and turns the singular case into
+    a finite, bounded-amplification inverse whose rcond estimate still
+    trips the breakdown freeze.
     Matches reference semantics otherwise (my_sqrtm_cusolver.hpp:345-360).
     """
     p = a.shape[-1]
@@ -154,14 +167,16 @@ def newton_sqrtm_invsqrtm(a: jax.Array, iters: int = 18):
     c = jnp.sqrt(jnp.sum(a * a, axis=(-2, -1), keepdims=True))
     c = jnp.maximum(c, jnp.finfo(a.dtype).tiny)
     eye = jnp.broadcast_to(jnp.eye(p, dtype=a.dtype), a.shape)
+    # condition floor: see docstring
+    a = a + (16.0 * jnp.finfo(a.dtype).eps * c) * eye
 
     def step(yz, _):
         y, z = yz
         t = 1.5 * eye - 0.5 * jnp.einsum(
-            "bik,bkj->bij", z, y, preferred_element_type=a.dtype
+            "bik,bkj->bij", z, y, preferred_element_type=a.dtype, precision=HIGHEST
         )
-        y = jnp.einsum("bik,bkj->bij", y, t, preferred_element_type=a.dtype)
-        z = jnp.einsum("bik,bkj->bij", t, z, preferred_element_type=a.dtype)
+        y = jnp.einsum("bik,bkj->bij", y, t, preferred_element_type=a.dtype, precision=HIGHEST)
+        z = jnp.einsum("bik,bkj->bij", t, z, preferred_element_type=a.dtype, precision=HIGHEST)
         # re-symmetrize: Y, Z are symmetric in exact arithmetic; drift
         # compounds over the quadratic phase in f32
         y = 0.5 * (y + jnp.swapaxes(y, -1, -2))
@@ -219,7 +234,7 @@ def sqrtm_invsqrtm(
     both = jnp.stack([s, s_inv], axis=-2)  # (..., 2, p)
     out = jnp.einsum(
         "...ik,...fk,...jk->...fij", v, both, v,
-        preferred_element_type=a.dtype,
+        preferred_element_type=a.dtype, precision=HIGHEST,
     )
     return out[..., 0, :, :], out[..., 1, :, :]
 
@@ -231,5 +246,5 @@ def expm_sym(t: jax.Array, backend: str = "lax", sweeps: int = 16):
     w, v = eigh(t, backend=backend, sweeps=sweeps)
     return jnp.einsum(
         "...ik,...k,...jk->...ij", v, jnp.exp(w), v,
-        preferred_element_type=t.dtype,
+        preferred_element_type=t.dtype, precision=HIGHEST,
     )

@@ -22,6 +22,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from lanczos_tpu.ops.precision import HIGHEST
+
 
 def _fix_signs(q, r):
     d = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
@@ -46,7 +48,7 @@ def tsqr(a: jax.Array, n_chunks: int = 8):
     q2, r = jnp.linalg.qr(r1.reshape(c * p, p), mode="reduced")
     q2b = q2.reshape(c, p, p)
     q = jnp.einsum(
-        "cij,cjk->cik", q1, q2b, preferred_element_type=a.dtype
+        "cij,cjk->cik", q1, q2b, preferred_element_type=a.dtype, precision=HIGHEST
     ).reshape(rows, p)[:n]
     q, r = _fix_signs(q, r)
     return q, r
@@ -80,7 +82,7 @@ def tsqr_sharded(x: jax.Array, mesh, axis: str = "rows"):
             q2.reshape(n_dev, p, p), my, 0, keepdims=False
         )
         q = jnp.einsum(
-            "rp,pk->rk", ql, q2b, preferred_element_type=x.dtype
+            "rp,pk->rk", ql, q2b, preferred_element_type=x.dtype, precision=HIGHEST
         )
         d = jnp.sign(jnp.diagonal(r))
         d = jnp.where(d == 0, 1.0, d).astype(r.dtype)

@@ -30,6 +30,8 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+
+from lanczos_tpu.ops.precision import HIGHEST
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -92,7 +94,7 @@ def _halo_mv_local(data, idx, x, axis, halo):
     x_ext = _halo_exchange(jnp.swapaxes(x, 0, 1), axis, halo)  # (ext, p)
     gathered = jnp.take(x_ext, idx, axis=0)  # (rows_loc, w, p)
     return jnp.einsum(
-        "rw,rwp->pr", data, gathered, preferred_element_type=data.dtype
+        "rw,rwp->pr", data, gathered, preferred_element_type=data.dtype, precision=HIGHEST
     )
 
 
@@ -303,7 +305,7 @@ def _gather_mv_local(data, idx, x, axis):
     x_full = jax.lax.all_gather(x, axis, axis=1, tiled=True)  # (p, n_pad)
     gathered = jnp.take(x_full, idx, axis=1)  # (p, rows_loc, w)
     return jnp.einsum(
-        "rw,prw->pr", data, gathered, preferred_element_type=data.dtype
+        "rw,prw->pr", data, gathered, preferred_element_type=data.dtype, precision=HIGHEST
     )
 
 
