@@ -220,14 +220,17 @@ def bench_copy_bw(rows: int, dtype=jnp.float32):
     out = []
     key = jax.random.PRNGKey(0)
     for p in [1, 4, 8]:
-        x = jax.random.normal(key, (rows,) if p == 1 else (p, rows), dtype)
-        # multiplicative update: XLA strength-reduces a chained `y + 1`
-        # to a single `y + k` (the 1-D case measured an impossible
-        # 5.5 TB/s); `y * c` has no such closed form it exploits
+        # a (rows,) f32 state (98 MB) can stay RESIDENT on-chip across
+        # fori_loop iterations and measures on-chip (not HBM) bandwidth
+        # — the earlier artifact rows claimed an impossible 5.5-5.8 TB/s.
+        # Pad the 1-D case to the p=4 footprint so every row streams HBM;
+        # `y * c` (not `y + 1`) so XLA cannot strength-reduce the chain.
+        n = rows * 4 if p == 1 else rows
+        x = jax.random.normal(key, (n,) if p == 1 else (p, n), dtype)
         s = slope_time_chain(lambda y: y * 1.0000001, x, damp=None)
         bs = jnp.dtype(dtype).itemsize
-        bytes_moved = 2 * rows * max(p, 1) * bs
-        out.append({"n_col": p, "rows": rows, "seconds": s,
+        bytes_moved = 2 * n * max(p, 1) * bs
+        out.append({"n_col": p, "rows": n, "seconds": s,
                     "copy_gbps": bytes_moved / s / 1e9})
     return out
 

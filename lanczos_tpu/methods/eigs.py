@@ -75,7 +75,7 @@ def lanczos_eigsh(
 @partial(
     jax.jit,
     static_argnames=("m", "k", "which", "reorth", "compute_vectors", "eig_backend",
-                     "normalize"),
+                     "normalize", "breakdown_eps", "replace_dead"),
 )
 def block_lanczos_eigsh(
     a,
@@ -88,12 +88,20 @@ def block_lanczos_eigsh(
     compute_vectors: bool = False,
     eig_backend: str = "jacobi",
     normalize: str = "sqrtm",
+    breakdown_eps: float = 0.0,
+    replace_dead: bool = False,
 ):
     """Top-k Ritz pairs from an m-step block-Lanczos run.  b is BLOCK-MAJOR
-    (p, n).  Returns (values (k,), vectors (n, k) or None, residuals)."""
+    (p, n).  Returns (values (k,), vectors (n, k) or None, residuals).
+
+    breakdown_eps / replace_dead forward to `block_lanczos` (rank-
+    revealing deflation / adaptive restart of collapsed directions —
+    recommended with normalize='qr' on matrices whose dominant modes
+    converge early)."""
     res = block_lanczos(
         a, b, m, reorth=reorth, store_basis=compute_vectors,
         eig_backend=eig_backend, normalize=normalize,
+        breakdown_eps=breakdown_eps, replace_dead=replace_dead,
     )
     p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])
