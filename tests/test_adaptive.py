@@ -140,3 +140,33 @@ def test_qr_beta_final_finite_after_convergence():
     )
     bf = np.asarray(res.beta_final)
     assert np.isfinite(bf).all()
+
+
+def test_adaptive_distributed_matches_local():
+    """replace_dead + qr TSQR on an 8-device mesh: the sharded adaptive
+    path (shard_map TSQR inside the cleanup) must reproduce the
+    single-device Ritz values on the rank-collapse fixture."""
+    from lanczos_tpu.methods.eigs import block_lanczos_eigsh
+    from lanczos_tpu.ops.operator import MatrixOperator
+    from lanczos_tpu.parallel.dist_windowed import halo_sharded_windowed
+    from lanczos_tpu.parallel.mesh import make_mesh
+
+    n, p, m = 1600, 4, 10
+    a = spiky_spd(n, spikes=(30.0, 25.0, 20.0))
+    rng = np.random.default_rng(5)
+    b_np = rng.standard_normal((p, n)).astype(np.float32)
+
+    A = halo_sharded_windowed(a, make_mesh(8), cpb=2, spg=2)
+    vals_d, _, _ = block_lanczos_eigsh(
+        A, A.pad_vector(b_np), m, 3, reorth="full", normalize="qr",
+        breakdown_eps=1e-4, replace_dead=True,
+    )
+
+    op = MatrixOperator(jnp.asarray(a.toarray().astype(np.float32)))
+    vals_l, _, _ = block_lanczos_eigsh(
+        op, jnp.asarray(b_np), m, 3, reorth="full", normalize="qr",
+        breakdown_eps=1e-4, replace_dead=True,
+    )
+    true = np.sort(np.linalg.eigvalsh(a.toarray().astype(np.float64)))[::-1][:3]
+    np.testing.assert_allclose(np.asarray(vals_l), true, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(vals_d), true, rtol=1e-4)
