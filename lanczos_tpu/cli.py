@@ -43,6 +43,18 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["none", "full", "selective", "periodic"])
     ap.add_argument("--eig-backend", default="jacobi",
                     choices=["jacobi", "lax", "newton"])
+    ap.add_argument("--normalize", default="sqrtm",
+                    choices=["sqrtm", "qr"],
+                    help="block normalization: reference sqrtm(W^T W) or "
+                         "rank-safe TSQR")
+    ap.add_argument("--breakdown-eps", type=float, default=0.0,
+                    help="rank-revealing deflation threshold (relative "
+                         "R-diagonal / eigenvalue cutoff)")
+    ap.add_argument("--replace-dead", action="store_true",
+                    help="adaptive restart: refill deflated directions "
+                         "with basis-orthogonal random vectors "
+                         "(needs --normalize qr, --breakdown-eps > 0, "
+                         "and a basis-keeping --reorth)")
     ap.add_argument("--breakdown-tol", type=float, default=0.0,
                     help="freeze the recurrence at an (approximate) "
                     "invariant subspace: ||w||/beta_0 (vector) or the "
@@ -67,7 +79,9 @@ def config_from_args(args) -> LanczosConfig:
         n_col=args.n_col, t_end=args.t_end, fdtd_steps=args.fdtd_steps,
         lc=args.lc, seed=args.seed, dtype=args.dtype, reorth=args.reorth,
         eig_backend=args.eig_backend,
-        breakdown_tol=args.breakdown_tol, operator=args.operator,
+        breakdown_tol=args.breakdown_tol, normalize=args.normalize,
+        breakdown_eps=args.breakdown_eps, replace_dead=args.replace_dead,
+        operator=args.operator,
         devices=args.devices, validate=args.validate,
         profile_dir=args.profile_dir,
     )
@@ -138,7 +152,10 @@ def run(cfg: LanczosConfig) -> dict:
             )
             b = pack(jnp.asarray(b_np))
             kwargs = dict(reorth=cfg.reorth, eig_backend=cfg.eig_backend,
-                          breakdown_tol=cfg.breakdown_tol)
+                          breakdown_tol=cfg.breakdown_tol,
+                          normalize=cfg.normalize,
+                          breakdown_eps=cfg.breakdown_eps,
+                          replace_dead=cfg.replace_dead)
             if trace_fn is not None:
                 sol = block_lanczos_expm_action(
                     op, b, cfg.m, cfg.t_end, 0, trace_fn=trace_fn(lc), **kwargs

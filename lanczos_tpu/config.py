@@ -29,6 +29,9 @@ class LanczosConfig:
     eig_backend: str = "jacobi"  # in-scan small eigensolver
     eig_sweeps: int | None = None  # None = backend default (jacobi 10, newton 18)
     breakdown_tol: float = 0.0
+    normalize: str = "sqrtm"  # sqrtm (reference) | qr (TSQR, rank-safe)
+    breakdown_eps: float = 0.0  # rank-revealing deflation threshold
+    replace_dead: bool = False  # adaptive restart of collapsed directions
 
     # execution
     operator: str = "stencil"  # stencil | pallas | ell
