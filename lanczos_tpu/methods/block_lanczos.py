@@ -90,6 +90,7 @@ def _mix(s, x):
         "trace_fn",
         "normalize",
         "replace_dead",
+        "fused",
     ),
 )
 def block_lanczos(
@@ -107,6 +108,7 @@ def block_lanczos(
     trace_fn=None,
     normalize: str = "sqrtm",
     replace_dead: bool = False,
+    fused: bool | None = None,
 ) -> BlockLanczosResult:
     """b: (p, *state_shape), block-major.  `trace_fn(q) -> (p,)` overrides
     the default receiver extraction (flat index lc per block column).
@@ -149,6 +151,38 @@ def block_lanczos(
         raise ValueError(f"unknown reorth mode {reorth!r}")
     if normalize not in ("sqrtm", "qr"):
         raise ValueError(f"unknown normalize mode {normalize!r}")
+    # fused=None (auto): route reorth-free sqrtm single-device runs through
+    # the traffic-minimal path (block_lanczos_fused.py — 3 HBM passes per
+    # iteration instead of ~6 ops / 15 passes).  fused=False forces the
+    # reference-semantics materialized recurrence.
+    fusable = (
+        reorth == "none"
+        and normalize == "sqrtm"
+        and not replace_dead
+        and getattr(a, "mesh", None) is None
+    )
+    if fused and not fusable:
+        raise ValueError(
+            "fused=True requires reorth='none', normalize='sqrtm', "
+            "replace_dead=False and a non-distributed operator"
+        )
+    if fusable and fused is not False:
+        from lanczos_tpu.methods.block_lanczos_fused import (
+            block_lanczos_fused,
+        )
+
+        return block_lanczos_fused(
+            a,
+            b,
+            m,
+            lc,
+            store_basis=store_basis,
+            eig_backend=eig_backend,
+            eig_sweeps=eig_sweeps,
+            breakdown_eps=breakdown_eps,
+            breakdown_tol=breakdown_tol,
+            trace_fn=trace_fn,
+        )
     if replace_dead and (
         normalize != "qr" or breakdown_eps <= 0.0 or reorth == "none"
     ):
@@ -162,11 +196,10 @@ def block_lanczos(
     lc_idx = jnp.asarray(0 if lc is None else lc, jnp.int32)
 
     if trace_fn is None:
+        from lanczos_tpu.ops.operator import state_trace
+
         def trace_at(q):
-            qf = q.reshape(p, -1)
-            return jax.lax.dynamic_index_in_dim(
-                qf, lc_idx, axis=1, keepdims=False
-            )
+            return state_trace(q, lc_idx, block=True)
     else:
         trace_at = trace_fn
 
@@ -180,6 +213,26 @@ def block_lanczos(
     # all-gathered R reduction) instead of gathering the O(n) block
     dist_mesh = getattr(a, "mesh", None)
     dist_axis = getattr(a, "axis", "rows")
+
+    # Pin every big carry array to the operator's row sharding: without
+    # the constraints GSPMD picks divergent intermediate shardings for
+    # the reorth einsums and "involuntarily rematerializes" (fully
+    # replicates) the block state and basis on every scan step — an
+    # O(n*m) collective where the design promises O(halo).
+    state_pspec = getattr(a, "state_pspec", None)
+    if dist_mesh is not None and state_pspec is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _pin(x, extra_lead=1):
+            spec = PartitionSpec(
+                *(None,) * extra_lead, *tuple(state_pspec)
+            )
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(dist_mesh, spec)
+            )
+    else:
+        def _pin(x, extra_lead=1):
+            return x
 
     def _fro(x):
         return jnp.sqrt(jnp.sum(x * x))
@@ -227,17 +280,18 @@ def block_lanczos(
     # (a degenerate START block is the caller's bug, not a breakdown —
     # its rcond is not checked)
     q0, beta0, _rcond0 = normalize_block(b)
+    q0 = _pin(q0)
     w = a.mm(q0)
     alpha0 = _sym(_gram(w, q0))
-    w = w - _mix(alpha0, q0)
+    w = _pin(w - _mix(alpha0, q0))
 
     karr = jnp.arange(m)
     eps = jnp.finfo(dtype).eps
     sqrt_eps = jnp.sqrt(eps)
     if need_basis:
-        basis0 = jnp.zeros((m,) + b.shape, dtype).at[0].set(q0)
+        basis0 = _pin(jnp.zeros((m,) + b.shape, dtype).at[0].set(q0), 2)
     else:
-        basis0 = jnp.zeros((1,) + b.shape, dtype)
+        basis0 = _pin(jnp.zeros((1,) + b.shape, dtype), 2)
 
     # Block-omega histories (selective reorth): Frobenius norms of the
     # alpha/beta blocks stand in for the scalar |alpha|/|beta| of Simon's
@@ -247,16 +301,31 @@ def block_lanczos(
     nb_hist0 = jnp.zeros((m,), dtype).at[0].set(_fro(beta0))
     omega0 = jnp.zeros((m,), dtype).at[0].set(1.0)
 
+    if dist_mesh is not None:
+        from jax.sharding import NamedSharding as _NS, PartitionSpec as _PS
+
+        def _pin_rep(x):
+            # small (m, p, p) coefficient tensors: explicitly replicated,
+            # so GSPMD lowers the reduction einsum to local-dot + psum
+            # instead of inventing a sharded-output strategy that forces
+            # a full rematerialization of the operands
+            return jax.lax.with_sharding_constraint(
+                x, _NS(dist_mesh, _PS())
+            )
+    else:
+        def _pin_rep(x):
+            return x
+
     def block_cgs2(wv, basis, valid_mask):
         # W -= Q_k (Q_k^T W) over all valid blocks, twice (CGS2).
         for _ in range(2):
             coeffs = jnp.einsum(
                 "ki...,j...->kij", basis, wv, preferred_element_type=dtype, precision=HIGHEST
             )
-            coeffs = coeffs * valid_mask[:, None, None]
-            wv = wv - jnp.einsum(
+            coeffs = _pin_rep(coeffs) * valid_mask[:, None, None]
+            wv = _pin(wv - jnp.einsum(
                 "kij,ki...->j...", coeffs, basis, preferred_element_type=dtype, precision=HIGHEST
-            )
+            ))
         return wv
 
     def body(carry, j):
@@ -293,6 +362,7 @@ def block_lanczos(
             om_prev, om = om, om_new
 
         q, beta, rcond = normalize_block(wv)
+        q = _pin(q)
 
         # POST-normalization basis cleanup.  Orthogonalizing only the
         # residual (the classic placement) is not enough: normalization
@@ -358,9 +428,16 @@ def block_lanczos(
             q, beta = jax.lax.cond(
                 do_clean, _clean, lambda qb: qb, (q, beta)
             )
+            q = _pin(q)
         if breakdown_tol > 0.0:
             # freeze on (approximate) invariant subspace: see docstring.
-            dead = dead | (rcond <= breakdown_tol)
+            # (an EXACTLY invariant one gives beta = pinv = 0, which the
+            # product-of-norms rcond reads as healthy — catch the
+            # vanished residual norm directly)
+            tiny_t = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+            dead = dead | (rcond <= breakdown_tol) | (
+                jnp.sqrt(jnp.sum(beta * beta)) <= tiny_t
+            )
             q = jnp.where(dead, jnp.zeros_like(q), q)
             beta = jnp.where(dead, jnp.zeros_like(beta), beta)
         # A V_j = V_{j-1} B_j^T + V_j A_j + V_{j+1} B_{j+1}: subtract the
@@ -368,15 +445,17 @@ def block_lanczos(
         # path; required for the upper-triangular QR path).
         wn = a.mm(q) - _mix(beta.T, q_prev)
         alpha = _sym(_gram(wn, q))
-        wn = wn - _mix(alpha, q)
+        wn = _pin(wn - _mix(alpha, q))
 
         if need_basis:
-            basis = jax.lax.dynamic_update_index_in_dim(basis, q, j, 0)
+            basis = _pin(
+                jax.lax.dynamic_update_index_in_dim(basis, q, j, 0), 2
+            )
         if reorth == "full":
             # residual-side pass: keeps the NEXT normalization's input
             # clean so the q-side cleanup above only has eps-level work
             valid = (karr <= j).astype(dtype)
-            wn = block_cgs2(wn, basis, valid)
+            wn = _pin(block_cgs2(wn, basis, valid))
 
         na_hist = jax.lax.dynamic_update_index_in_dim(
             na_hist, _fro(alpha), j, 0

@@ -69,9 +69,10 @@ def _chunk_steps(a, q_prev, w, lc_idx, trace_fn, n_steps: int):
     """n_steps bare three-term iterations starting from (q_prev, w)."""
 
     if trace_fn is None:
+        from lanczos_tpu.ops.operator import state_trace
+
         def trace_at(q):
-            qf = q.reshape(-1) if q.ndim > 1 else q
-            return jax.lax.dynamic_index_in_dim(qf, lc_idx, keepdims=False)
+            return state_trace(q, lc_idx, block=False)
     else:
         trace_at = trace_fn
 
@@ -197,10 +198,10 @@ def _block_chunk_steps(a, q_prev, w, lc_idx, trace_fn, eig_sweeps, n_steps):
 
     p = q_prev.shape[0]
     if trace_fn is None:
+        from lanczos_tpu.ops.operator import state_trace
+
         def trace_at(q):
-            return jax.lax.dynamic_index_in_dim(
-                q.reshape(p, -1), lc_idx, axis=1, keepdims=False
-            )
+            return state_trace(q, lc_idx, block=True)
     else:
         trace_at = trace_fn
 
@@ -237,8 +238,10 @@ def block_lanczos_checkpointed(
     eig_sweeps: int | None = None,
 ):
     """m-step block Lanczos in restartable chunks; matches
-    `block_lanczos(..., reorth='none')` exactly.  b is BLOCK-MAJOR
-    (p, *state).  Returns a BlockLanczosResult (basis=None)."""
+    `block_lanczos(..., reorth='none', fused=False)` exactly (the
+    materialized recurrence; the fused fast path agrees to rounding).
+    b is BLOCK-MAJOR (p, *state).  Returns a BlockLanczosResult
+    (basis=None)."""
     from lanczos_tpu.methods.block_lanczos import (
         BlockLanczosResult,
         _gram,

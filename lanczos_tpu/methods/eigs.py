@@ -75,7 +75,8 @@ def lanczos_eigsh(
 @partial(
     jax.jit,
     static_argnames=("m", "k", "which", "reorth", "compute_vectors", "eig_backend",
-                     "normalize", "breakdown_eps", "replace_dead"),
+                     "eig_sweeps", "normalize", "breakdown_eps", "breakdown_tol",
+                     "replace_dead", "fused"),
 )
 def block_lanczos_eigsh(
     a,
@@ -87,21 +88,27 @@ def block_lanczos_eigsh(
     reorth: str = "full",
     compute_vectors: bool = False,
     eig_backend: str = "jacobi",
+    eig_sweeps: int | None = None,
     normalize: str = "sqrtm",
     breakdown_eps: float = 0.0,
+    breakdown_tol: float = 0.0,
     replace_dead: bool = False,
+    fused: bool | None = None,
 ):
     """Top-k Ritz pairs from an m-step block-Lanczos run.  b is BLOCK-MAJOR
     (p, n).  Returns (values (k,), vectors (n, k) or None, residuals).
 
-    breakdown_eps / replace_dead forward to `block_lanczos` (rank-
-    revealing deflation / adaptive restart of collapsed directions —
-    recommended with normalize='qr' on matrices whose dominant modes
-    converge early)."""
+    All solver knobs forward to `block_lanczos`: eig_backend/eig_sweeps
+    select and tune the in-scan sqrtm eigensolver, breakdown_tol freezes
+    on an invariant subspace, breakdown_eps / replace_dead give rank-
+    revealing deflation / adaptive restart of collapsed directions
+    (recommended with normalize='qr' on matrices whose dominant modes
+    converge early), and fused forces/forbids the traffic-minimal path."""
     res = block_lanczos(
         a, b, m, reorth=reorth, store_basis=compute_vectors,
-        eig_backend=eig_backend, normalize=normalize,
-        breakdown_eps=breakdown_eps, replace_dead=replace_dead,
+        eig_backend=eig_backend, eig_sweeps=eig_sweeps, normalize=normalize,
+        breakdown_eps=breakdown_eps, breakdown_tol=breakdown_tol,
+        replace_dead=replace_dead, fused=fused,
     )
     p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])

@@ -96,9 +96,10 @@ def vector_lanczos(
     lc_idx = jnp.asarray(0 if lc is None else lc, jnp.int32)
 
     if trace_fn is None:
+        from lanczos_tpu.ops.operator import state_trace
+
         def trace_at(q):
-            qf = q.reshape(-1) if q.ndim > 1 else q
-            return jax.lax.dynamic_index_in_dim(qf, lc_idx, keepdims=False)
+            return state_trace(q, lc_idx, block=False)
     else:
         trace_at = trace_fn
 

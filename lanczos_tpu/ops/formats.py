@@ -211,6 +211,12 @@ class CooMatrix(LinearOperator):
         )  # (n, p)
         return y.T
 
+    def to_dense(self) -> jax.Array:
+        """Debug/introspection dense rebuild (reference
+        `Ell_matrix::print_as_dense`, `ell_matrix.hpp:473-527`)."""
+        dense = jnp.zeros(self.shape, self.dtype)
+        return dense.at[self.rows, self.cols].add(self.data)
+
     def tree_flatten(self):
         return (self.rows, self.cols, self.data), (self.n_rows_true, self.n_cols_true)
 
@@ -279,6 +285,12 @@ class CsrMatrix(LinearOperator):
             prod.T, self.row_ids, num_segments=self.n_rows_true
         )
         return y.T
+
+    def to_dense(self) -> jax.Array:
+        """Debug/introspection dense rebuild (reference
+        `print_as_dense`); padding entries (data 0 at slot (0,0)) vanish."""
+        dense = jnp.zeros(self.shape, self.dtype)
+        return dense.at[self.row_ids, self.indices].add(self.data)
 
     def tree_flatten(self):
         return (
@@ -375,6 +387,21 @@ class BsrMatrix(LinearOperator):
         )  # (p, nbr, bs)
         out = jnp.reshape(Yb, (p, -1))[:, : self.n_rows_true]
         return out[0] if squeeze else out
+
+    def to_dense(self) -> jax.Array:
+        """Debug/introspection dense rebuild; duplicate padding blocks at
+        block-column 0 carry zero data, so `.add` keeps them inert."""
+        bs = self.block_size
+        nbr, w = self.block_cols.shape
+        mpad = ((self.n_cols_true + bs - 1) // bs) * bs
+        rr = jnp.repeat(jnp.arange(nbr), w)
+        cc = self.block_cols.reshape(-1)
+        blocks = self.data.reshape(-1, bs, bs)
+        dense = jnp.zeros((nbr * bs, mpad), self.dtype)
+        row_idx = (rr * bs)[:, None, None] + jnp.arange(bs)[None, :, None]
+        col_idx = (cc * bs)[:, None, None] + jnp.arange(bs)[None, None, :]
+        dense = dense.at[row_idx, col_idx].add(blocks)
+        return dense[: self.n_rows_true, : self.n_cols_true]
 
     def tree_flatten(self):
         return (
@@ -475,6 +502,19 @@ class DiaMatrix(LinearOperator):
                 Xp, (0, h + off), (p, npad)
             )
         return Y[:, : self.n_rows_true]
+
+    def to_dense(self) -> jax.Array:
+        """Debug/introspection dense rebuild from the diagonal planes."""
+        n, m = self.shape
+        dense = jnp.zeros((n, m), self.dtype)
+        rows = jnp.arange(n)
+        for d, off in enumerate(self.offsets):
+            cols = rows + off
+            ok = (cols >= 0) & (cols < m)
+            dense = dense.at[
+                jnp.where(ok, rows, 0), jnp.where(ok, cols, 0)
+            ].add(jnp.where(ok, self.data[d][:n], 0.0))
+        return dense
 
     def tree_flatten(self):
         return (self.data,), (self.offsets, self.n_rows_true, self.n_cols_true)

@@ -91,3 +91,28 @@ class MatrixOperator(LinearOperator):
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+def state_trace(q, lc_idx, block: bool):
+    """Receiver extraction q[..., lc] WITHOUT flattening the state.
+
+    `q.reshape(p, -1)` on a structured (tiled) state is a full relayout
+    copy — measured 2.6 ms on the 450 MB Maxwell block state, i.e. more
+    than the Gram product it sits next to.  Unraveling lc into the native
+    state shape and taking a dynamic_slice reads one element per block
+    column instead.  block=True treats axis 0 as the block axis."""
+    state_shape = q.shape[1:] if block else q.shape
+    if len(state_shape) == 1:
+        qf = q if not block else q
+        return jax.lax.dynamic_index_in_dim(
+            qf, lc_idx, axis=1 if block else 0, keepdims=False
+        )
+    idx = jnp.unravel_index(lc_idx, state_shape)
+    starts = tuple(jnp.asarray(i, jnp.int32) for i in idx)
+    if block:
+        p = q.shape[0]
+        sl = jax.lax.dynamic_slice(
+            q, (jnp.int32(0),) + starts, (p,) + (1,) * len(state_shape)
+        )
+        return sl.reshape(p)
+    sl = jax.lax.dynamic_slice(q, starts, (1,) * len(state_shape))
+    return sl.reshape(())

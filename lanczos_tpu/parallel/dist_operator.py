@@ -125,6 +125,11 @@ class HaloShardedEll(LinearOperator):
         return (self.n_rows_true, self.n_rows_true)
 
     @property
+    def state_pspec(self):
+        """PartitionSpec of ONE (flat) state vector: row-sharded."""
+        return P(self.axis)
+
+    @property
     def n_padded(self) -> int:
         return self.data.shape[0]
 
@@ -323,6 +328,11 @@ class GatherShardedEll(LinearOperator):
     @property
     def shape(self):
         return (self.n_rows_true, self.n_rows_true)
+
+    @property
+    def state_pspec(self):
+        """PartitionSpec of ONE (flat) state vector: row-sharded."""
+        return P(self.axis)
 
     @property
     def n_padded(self) -> int:

@@ -165,6 +165,15 @@ class DistributedPallasMaxwell(LinearOperator):
         # global stacked state: z = n_dev shard segments of Zs rows each
         return (6, self.n_dev * self.spec_e.zc, self.spec_e.plane)
 
+    @property
+    def state_pspec(self):
+        """PartitionSpec of ONE state vector (no block axis): z-sharded.
+        The Lanczos drivers prepend None axes for p / basis dims and pin
+        the scan carry with it (keeps GSPMD from rematerializing)."""
+        from jax.sharding import PartitionSpec as P
+
+        return P(None, self.axis, None)
+
     # -- compute ------------------------------------------------------------
 
     def _mapped(self, block: bool):

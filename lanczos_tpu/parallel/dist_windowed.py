@@ -76,6 +76,11 @@ class HaloShardedWindowed(LinearOperator):
         return (self.n_rows_true, self.n_rows_true)
 
     @property
+    def state_pspec(self):
+        """PartitionSpec of ONE (flat) state vector: row-sharded."""
+        return P(self.axis)
+
+    @property
     def dtype(self):
         return self.planes_data.dtype
 

@@ -1,0 +1,129 @@
+"""Fused block-dense Pallas kernels (`ops/pallas/block_dense.py`) vs
+einsum oracles, and the fused (traffic-minimal) block-Lanczos path vs the
+materialized recurrence.
+
+TPU counterparts of the reference's mm_ts / mm_tt / mm_tt2 kernel A/B
+checks (`kernels/measurements/mm_tt.cu:210-248` etc.), run in Pallas
+interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanczos_tpu.methods.block_lanczos import block_lanczos
+from lanczos_tpu.ops.operator import MatrixOperator
+from lanczos_tpu.ops.pallas.block_dense import block_grams, block_mix
+
+
+@pytest.mark.parametrize(
+    "state", [(6, 16, 256), (4096,), (3, 5, 16, 128)]
+)
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_block_mix_matches_einsum(rng, state, dtype):
+    key = jax.random.PRNGKey(0)
+    ps = [4, 4, 4]
+    xs = [
+        jnp.asarray(rng.standard_normal((p,) + state), dtype) for p in ps
+    ]
+    c = jnp.asarray(rng.standard_normal((sum(ps), 5)), dtype)
+    out = block_mix(c, xs)
+    ref = sum(
+        jnp.einsum("kj,k...->j...", c[i * 4 : (i + 1) * 4], xs[i])
+        for i in range(3)
+    )
+    tol = 1e-5 if dtype == jnp.float32 else 1e-12
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=tol, atol=tol
+    )
+    assert out.dtype == dtype
+
+
+@pytest.mark.parametrize("state", [(6, 16, 256), (4096,)])
+def test_block_grams_matches_einsum(rng, state):
+    xs = [
+        jnp.asarray(rng.standard_normal((p,) + state), jnp.float32)
+        for p in (4, 6)
+    ]
+    z = jnp.asarray(rng.standard_normal((3,) + state), jnp.float32)
+    g = block_grams(xs, z, include_zz=True)
+    zf = np.asarray(z, np.float64).reshape(3, -1)
+    ref = np.concatenate(
+        [
+            np.asarray(x, np.float64).reshape(x.shape[0], -1) @ zf.T
+            for x in list(xs) + [z]
+        ]
+    )
+    assert g.shape == (13, 3)
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_block_mix_fallback_unaligned(rng):
+    # state length not divisible by 128 -> jnp fallback path
+    xs = [jnp.asarray(rng.standard_normal((4, 97)), jnp.float32)]
+    c = jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)
+    out = block_mix(c, xs)
+    ref = jnp.einsum("kj,k...->j...", c, xs[0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+    g = block_grams(xs, xs[0], include_zz=True)
+    assert g.shape == (8, 4)
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float64, 1e-12), (jnp.float32, 5e-5)])
+def test_fused_matches_materialized(rng, dtype, tol):
+    """block_lanczos auto-fused == fused=False on a generic symmetric
+    operator, to rounding (exact in f64 up to O(eps) algebra shuffles)."""
+    n, p, m = 640, 4, 9
+    A = rng.standard_normal((n, n))
+    A = jnp.asarray((A + A.T) / np.sqrt(n), dtype)
+    b = jnp.asarray(rng.standard_normal((p, n)), dtype)
+    op = MatrixOperator(A)
+    r_std = block_lanczos(op, b, m, lc=3, fused=False)
+    r_fus = block_lanczos(op, b, m, lc=3)
+    for name in ("alphas", "betas", "trace", "beta_final"):
+        x = np.asarray(getattr(r_std, name))
+        y = np.asarray(getattr(r_fus, name))
+        scale = np.abs(x).max()
+        np.testing.assert_allclose(y, x, rtol=0, atol=tol * scale, err_msg=name)
+
+
+def test_fused_store_basis_and_breakdown(rng):
+    """store_basis returns the full orthonormal basis; breakdown_tol
+    freezes on an (approximately) invariant start block."""
+    n, p, m = 320, 3, 6
+    A = rng.standard_normal((n, n))
+    A = jnp.asarray((A + A.T) / np.sqrt(n), jnp.float64)
+    b = jnp.asarray(rng.standard_normal((p, n)), jnp.float64)
+    op = MatrixOperator(A)
+    r = block_lanczos(op, b, m, store_basis=True)
+    basis = np.asarray(r.basis).reshape(m * p, n)
+    g = basis @ basis.T
+    np.testing.assert_allclose(g, np.eye(m * p), atol=5e-7)
+
+    # invariant subspace: b spans 3 exact eigenvectors -> freeze
+    d = np.arange(1.0, n + 1)
+    opd = MatrixOperator(jnp.asarray(np.diag(d)))
+    be = np.zeros((p, n))
+    be[0, 0] = be[1, 1] = be[2, 2] = 1.0
+    rf = block_lanczos(
+        opd, jnp.asarray(be), 4, breakdown_tol=1e-8, breakdown_eps=1e-10
+    )
+    assert bool(rf.breakdown)
+    # frozen steps emit zero blocks
+    assert float(jnp.abs(rf.alphas[-1]).max()) == 0.0
+    assert float(jnp.abs(rf.beta_final).max()) == 0.0
+
+
+def test_fused_trace_fn_maxwell(rng):
+    """Fused path with the Maxwell stacked-state trace_fn override."""
+    from lanczos_tpu.models.maxwell import MaxwellOperator
+    from lanczos_tpu.models.rhs import gaussian_matrix_B
+
+    op = MaxwellOperator.create(3, 3, 3, dtype=jnp.float64)
+    b = jnp.asarray(np.asarray(gaussian_matrix_B(3, op.n, 3), np.float64))
+    r0 = block_lanczos(op, b, 7, 11, fused=False)
+    r1 = block_lanczos(op, b, 7, 11)
+    np.testing.assert_allclose(
+        np.asarray(r1.trace), np.asarray(r0.trace), atol=1e-10
+    )

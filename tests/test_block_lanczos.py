@@ -278,7 +278,10 @@ def test_breakdown_freeze_keeps_ritz_in_spectrum(rng, norm, backend):
     loose = block_lanczos(op, x, m, reorth="none", eig_backend=backend,
                           normalize=norm)
     t = np.asarray(assemble_block_tridiagonal(loose.alphas, loose.betas[1:]))
-    assert np.linalg.eigvalsh(t).max() > 550.0  # escapes without the guard
+    # escapes without the guard: Ritz values leave the spectrum, or the
+    # recurrence goes fully non-finite (the newton backend on the fused
+    # path NaNs outright on the singular residual Gram)
+    assert (not np.all(np.isfinite(t))) or np.linalg.eigvalsh(t).max() > 550.0
 
     froz = block_lanczos(op, x, m, reorth="none", eig_backend=backend,
                          normalize=norm, breakdown_tol=3e-3)

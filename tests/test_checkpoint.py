@@ -90,7 +90,10 @@ def test_block_chunked_matches_monolithic(rng, tmp_path):
         np.asarray(gaussian_matrix_B(3, op.n, 3), np.float64)
     )
     m, lc = 9, 17
-    ref = block_lanczos(op, b, m, lc)
+    # fused=False: the chunked path implements the MATERIALIZED recurrence
+    # step for step, so it matches that path exactly (the fused fast path
+    # agrees only to rounding, ~1e-10 in f64)
+    ref = block_lanczos(op, b, m, lc, fused=False)
 
     path = str(tmp_path / "blk.npz")
     got = block_lanczos_checkpointed(op, b, m, lc, chunk=2, path=path)

@@ -97,9 +97,17 @@ def test_block_lanczos_on_stacked_state(ops, rng):
     ref, pop = ops
     B = np.asarray(gaussian_matrix_B(3, pop.n, 4), np.float32)
     lc = 20
-    r1 = block_lanczos(ref, jnp.asarray(B), 4, lc, eig_backend="lax")
+    # fused=False on both: this test compares the two OPERATOR
+    # implementations through the same (materialized) recurrence; the
+    # fused path's deferred Gram algebra amplifies the operators'
+    # eps-level rounding differences beyond the tolerance here (its own
+    # equivalence is covered in tests/test_block_dense.py)
+    r1 = block_lanczos(
+        ref, jnp.asarray(B), 4, lc, eig_backend="lax", fused=False
+    )
     r2 = block_lanczos(
-        pop, pop.pack(B), 4, eig_backend="lax", trace_fn=pop.trace_fn(lc)
+        pop, pop.pack(B), 4, eig_backend="lax", trace_fn=pop.trace_fn(lc),
+        fused=False,
     )
     np.testing.assert_allclose(
         np.asarray(r2.alphas), np.asarray(r1.alphas), rtol=2e-2, atol=1e-2
