@@ -90,7 +90,9 @@ def _mix(s, x):
         "trace_fn",
         "normalize",
         "replace_dead",
+        "restart_seed",
         "fused",
+        "compensated",
     ),
 )
 def block_lanczos(
@@ -108,7 +110,9 @@ def block_lanczos(
     trace_fn=None,
     normalize: str = "sqrtm",
     replace_dead: bool = False,
+    restart_seed: int = 17,
     fused: bool | None = None,
+    compensated: bool = False,
 ) -> BlockLanczosResult:
     """b: (p, *state_shape), block-major.  `trace_fn(q) -> (p,)` overrides
     the default receiver extraction (flat index lc per block column).
@@ -166,6 +170,12 @@ def block_lanczos(
             "fused=True requires reorth='none', normalize='sqrtm', "
             "replace_dead=False and a non-distributed operator"
         )
+    if compensated and not fusable:
+        raise ValueError(
+            "compensated=True (error-free-transform Gram accumulation) "
+            "is implemented on the fused path: requires reorth='none', "
+            "normalize='sqrtm' and a non-distributed operator"
+        )
     if fusable and fused is not False:
         from lanczos_tpu.methods.block_lanczos_fused import (
             block_lanczos_fused,
@@ -182,6 +192,7 @@ def block_lanczos(
             breakdown_eps=breakdown_eps,
             breakdown_tol=breakdown_tol,
             trace_fn=trace_fn,
+            compensated=compensated,
         )
     if replace_dead and (
         normalize != "qr" or breakdown_eps <= 0.0 or reorth == "none"
@@ -379,7 +390,16 @@ def block_lanczos(
         # W = Q beta, because the amplified directions are exactly the
         # ones with tiny beta rows.
         if reorth == "full":
-            do_clean = jnp.asarray(True)
+            # the 1/sigma amplification the q-side cleanup targets only
+            # occurs near rank collapse; with breakdown_eps == 0 (no
+            # near-dead handling requested) the residual-side CGS2 below
+            # suffices and the every-step cleanup would roughly double
+            # reorthogonalization cost for nothing (ADVICE r3)
+            do_clean = (
+                jnp.asarray(True)
+                if (breakdown_eps > 0.0 or replace_dead)
+                else None
+            )
         elif reorth == "periodic":
             do_clean = (j % 2) == 0
         elif reorth == "selective":
@@ -403,7 +423,9 @@ def block_lanczos(
                     # re-QR below turns it into fresh basis-orthogonal
                     # unit directions, and the zeroed beta rows decouple
                     # them from the previous block in T.
-                    key = jax.random.fold_in(jax.random.PRNGKey(17), j)
+                    key = jax.random.fold_in(
+                        jax.random.PRNGKey(restart_seed), j
+                    )
                     mask = (1.0 - keep).reshape((p,) + (1,) * (qv.ndim - 1))
                     qv = qv + jax.random.normal(key, qv.shape, dtype) * mask
                 valid = (karr <= j - 1).astype(dtype)
@@ -456,6 +478,20 @@ def block_lanczos(
             # clean so the q-side cleanup above only has eps-level work
             valid = (karr <= j).astype(dtype)
             wn = _pin(block_cgs2(wn, basis, valid))
+        elif reorth in ("periodic", "selective"):
+            # residual-side pass whenever the cleanup fired: the q-side
+            # cleanup alone discards the basis-overlap components of q
+            # without their weight entering T, leaving an A V = V T + E
+            # inconsistency of order overlap * ||beta|| accrued between
+            # cleanups; subtracting the overlap from the residual (the
+            # classic placement) removes it exactly (ADVICE r3)
+            valid = (karr <= j).astype(dtype)
+            wn = _pin(jax.lax.cond(
+                do_clean,
+                lambda w_: block_cgs2(w_, basis, valid),
+                lambda w_: w_,
+                wn,
+            ))
 
         na_hist = jax.lax.dynamic_update_index_in_dim(
             na_hist, _fro(alpha), j, 0

@@ -44,7 +44,11 @@ import jax
 import jax.numpy as jnp
 
 from lanczos_tpu.ops.operator import LinearOperator
-from lanczos_tpu.ops.pallas.block_dense import block_grams, block_mix
+from lanczos_tpu.ops.pallas.block_dense import (
+    block_grams,
+    block_grams_compensated,
+    block_mix,
+)
 from lanczos_tpu.ops.precision import HIGHEST
 from lanczos_tpu.ops.smalleig import sqrtm_invsqrtm
 
@@ -71,6 +75,7 @@ def _fro(x):
         "breakdown_eps",
         "breakdown_tol",
         "trace_fn",
+        "compensated",
     ),
 )
 def block_lanczos_fused(
@@ -85,9 +90,17 @@ def block_lanczos_fused(
     breakdown_eps: float = 0.0,
     breakdown_tol: float = 0.0,
     trace_fn=None,
+    compensated: bool = False,
 ):
     """Drop-in for `block_lanczos(..., reorth='none', normalize='sqrtm')`.
-    Returns the same `BlockLanczosResult`.  See module docstring."""
+    Returns the same `BlockLanczosResult`.  See module docstring.
+
+    compensated=True computes every Gram product with the TwoProd/TwoSum
+    error-free-transform kernel (`block_grams_compensated`): the T
+    coefficients are then accurate to O(eps) of f32 instead of
+    O(eps*sqrt(n)) — the TPU-native replacement for the reference's
+    all-f64 block driver (`test_lanczos.cu:349-356`), at ~2-3x Gram
+    cost."""
     from lanczos_tpu.methods.block_lanczos import BlockLanczosResult
 
     p = b.shape[0]
@@ -113,6 +126,7 @@ def block_lanczos_fused(
         )
 
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    grams = block_grams_compensated if compensated else block_grams
 
     def norm_coeffs(gwn, dead):
         """(beta, inv, rcond, dead') from the residual Gram; freezes to
@@ -130,11 +144,11 @@ def block_lanczos_fused(
         return beta, inv, dead
 
     # ---- prologue: q0, v0 = A q0, alpha0 -------------------------------
-    gbb = block_grams((), b, include_zz=True)  # (p, p): one read of b
+    gbb = grams((), b, include_zz=True)  # (p, p): one read of b
     beta0, inv0 = sqrtm_inv(gbb)
     q0 = block_mix(inv0.astype(cdt), (b,))
     v0 = a.mm(q0)
-    g2 = block_grams((q0,), v0, include_zz=True)  # [gram(q0,v0); gram(v0,v0)]
+    g2 = grams((q0,), v0, include_zz=True)  # [gram(q0,v0); gram(v0,v0)]
     g_qv, g_vv = g2[:p], g2[p:]
     g_qq = _mm(_mm(inv0.T.astype(cdt), gbb), inv0.astype(cdt))
     alpha0 = _sym(g_qv.T).astype(dtype)
@@ -164,7 +178,7 @@ def block_lanczos_fused(
     e1 = jnp.concatenate([-_mm(s2, inv1f), inv1f])  # (2p, p)
     q1 = block_mix(e1, (q0, v0))
     v1 = a.mm(q1)
-    g2 = block_grams((q1,), v1, include_zz=True)
+    g2 = grams((q1,), v1, include_zz=True)
     m23, m33 = g2[:p], g2[p:]
     # 2p x 2p gram of (q0, v0) for the derived blocks
     gU = jnp.block([[g_qq, g_qv], [g_qv.T, g_vv]])
@@ -207,7 +221,7 @@ def block_lanczos_fused(
         e = jnp.where(dead, jnp.zeros_like(e), e)
         q_j = block_mix(e, (u1, u2, u3))
         v_j = a.mm(q_j)
-        g2 = block_grams((q_j,), v_j, include_zz=True)
+        g2 = grams((q_j,), v_j, include_zz=True)
         m23n, m33n = g2[:p], g2[p:]
         # derived blocks for the new triple (u2, q_j, v_j)
         gu2U = jnp.concatenate([m12.T, m22, m23], axis=1)  # (p, 3p)

@@ -290,3 +290,210 @@ def block_grams(
         ),
         interpret=interpret,
     )(*xs, z)
+
+
+# ---------------------------------------------------------------------------
+# Compensated (error-free-transform) Gram: f64-oracle accuracy from f32
+# storage.  The reference runs its block driver in double
+# (`test_lanczos.cu:349-356`); TPUs have no hardware f64, so the TPU-native
+# answer (SURVEY.md §7 "f32 + compensated reductions") is a TwoProd/TwoSum
+# accumulation on the VPU: every product is split into (hi, lo) exactly
+# (Dekker), and a per-lane two-float running sum absorbs both the product
+# rounding and the accumulation random walk (each eps*sqrt(n) ~ 3e-4
+# relative at n ~ 3e7 in plain f32).
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: a + b = s + e exactly (6 flops, branchless)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _split(x):
+    """Dekker split: x = hi + lo with 12-bit-mantissa halves (f32)."""
+    c = x * jnp.float32(4097.0)  # 2^12 + 1
+    hi = c - (c - x)
+    return hi, x - hi
+
+
+def _two_prod(x, y):
+    """x * y = p + e exactly (no FMA on the VPU: Dekker, 17 flops)."""
+    p = x * y
+    xh, xl = _split(x)
+    yh, yl = _split(y)
+    e = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+    return p, e
+
+
+def block_grams_compensated(
+    xs, z: jax.Array, include_zz: bool = False, interpret: bool | None = None
+) -> jax.Array:
+    """Compensated gram(cat(xs), z) — same contract as `block_grams`, but
+    every scalar product enters a two-float accumulator, so the result
+    carries O(eps) relative error instead of O(eps * sqrt(n)).  Costs
+    ~2-3x the plain kernel's wall time (VPU-bound TwoProd/TwoSum instead
+    of MXU dots) — the accuracy option, not the default.
+
+    Requires a lane-tileable state; otherwise falls back to an f64 einsum
+    (exact on CPU with x64; on TPU the fallback emulates in extended
+    precision via the same two-float math at XLA level)."""
+    xs = tuple(xs)
+    state = z.shape[1:]
+    dtype = z.dtype
+    p = z.shape[0]
+    ps = [x.shape[0] for x in xs]
+    K = sum(ps) + (p if include_zz else 0)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    plan = _plan_blocks(state, dtype, len(xs) + 1, ps + [p])
+    if plan is not None and plan[0] == "flat" and plan[1] > 32768:
+        # the two-float scratch is (K*p, lanes): shrink the flat tile so
+        # it fits (any divisor works; compute is VPU-bound anyway)
+        n_flat = state[0]
+        q = n_flat // 128
+        tq = max(min(32768 // 128, q), 1)
+        while q % tq:
+            tq -= 1
+        plan = ("flat", tq * 128)
+    if plan is None:
+        lane_count = 0
+    elif plan[0] == "flat":
+        lane_count = plan[1]
+    else:
+        lane_count = state[-1]
+    # two-float per-(pair, lane) scratch must fit VMEM
+    scratch_ok = (
+        plan is not None and K * p * lane_count * 4 * 2 <= 48 * 1024 * 1024
+    )
+    if not scratch_ok:
+        # XLA-level two-float fallback: upcast to f64 where real (CPU
+        # x64), else split-einsum compensation
+        fdt = jnp.float64 if jnp.dtype(jnp.float64).itemsize == 8 else None
+        try:
+            ops = list(xs) + ([z] if include_zz else [])
+            zf = z.astype(jnp.float64)
+            return jnp.concatenate(
+                [
+                    jnp.einsum(
+                        "k...,j...->kj", x.astype(jnp.float64), zf,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    for x in ops
+                ]
+            ).astype(jnp.float32)
+        except Exception:
+            return block_grams(xs, z, include_zz=include_zz,
+                               interpret=interpret)
+
+    offs = [0]
+    for p_i in ps:
+        offs.append(offs[-1] + p_i)
+    pairs = []  # (x_operand_index or -1 for z, k_row, j_col)
+    for i, p_i in enumerate(ps):
+        for a_ in range(p_i):
+            for j_ in range(p):
+                pairs.append((i, a_, j_))
+    if include_zz:
+        for a_ in range(p):
+            for j_ in range(p):
+                pairs.append((-1, a_, j_))
+
+    if plan[0] == "flat":
+        pt = plan[1]
+        n = state[0]
+        grid = (n // pt,)
+        in_specs = [
+            pl.BlockSpec((p_i, pt), lambda b: (0, b), memory_space=pltpu.VMEM)
+            for p_i in ps
+        ] + [pl.BlockSpec((p, pt), lambda b: (0, b), memory_space=pltpu.VMEM)]
+        lanes = pt
+    else:
+        _, lead, bm = plan
+        m, pm = state[-2], state[-1]
+        r = len(lead)
+        grid = tuple(lead) + (m // bm,)
+        imap = lambda *g: (0,) + g[:-1] + (g[-1], 0)
+        blk = lambda p_i: (p_i,) + (1,) * r + (bm, pm)
+        in_specs = [
+            pl.BlockSpec(blk(p_i), imap, memory_space=pltpu.VMEM)
+            for p_i in ps
+        ] + [pl.BlockSpec(blk(p), imap, memory_space=pltpu.VMEM)]
+        lanes = pm
+
+    out_spec = pl.BlockSpec(
+        (K, p), lambda *g: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    def kernel(*refs):
+        # pallas ref order: inputs..., outputs..., scratch...
+        lo_s = refs[-1]  # scratch (K*p, lanes) lo
+        hi_s = refs[-2]  # scratch (K*p, lanes) hi
+        out_ref = refs[-3]
+        z_ref = refs[-4]
+        x_refs = refs[:-4]
+        ng = len(grid)
+        first = functools.reduce(
+            jnp.logical_and, [pl.program_id(d) == 0 for d in range(ng)]
+        )
+        last = functools.reduce(
+            jnp.logical_and,
+            [pl.program_id(d) == pl.num_programs(d) - 1 for d in range(ng)],
+        )
+        zv = _as2d(z_ref[...]).astype(jnp.float32)  # (p, rows*lanes)?
+        # reshape to (p, rows, lanes)
+        rows = zv.shape[1] // lanes
+        zv = zv.reshape(p, rows, lanes)
+        xvs = [
+            _as2d(xr[...]).astype(jnp.float32).reshape(-1, rows, lanes)
+            for xr in x_refs
+        ]
+
+        @pl.when(first)
+        def _():
+            hi_s[...] = jnp.zeros_like(hi_s)
+            lo_s[...] = jnp.zeros_like(lo_s)
+
+        for pi, (i, a_, j_) in enumerate(pairs):
+            xa = zv[a_] if i < 0 else xvs[i][a_]  # (rows, lanes)
+            zj = zv[j_]
+            sh = hi_s[pi]  # (lanes,)
+            sl = lo_s[pi]
+            for rrow in range(rows):
+                ph, pe = _two_prod(xa[rrow], zj[rrow])
+                sh, e1 = _two_sum(sh, ph)
+                sl = sl + (e1 + pe)
+            hi_s[pi] = sh
+            lo_s[pi] = sl
+
+        @pl.when(last)
+        def _():
+            # lane reduce: each lane's hi is ~result/lanes, so a plain sum
+            # of his costs eps*sqrt(lanes)*|result|/lanes ~ eps*|result|/18
+            acc = jnp.zeros((K, p), jnp.float32)
+            for pi, (i, a_, j_) in enumerate(pairs):
+                row = offs[i] + a_ if i >= 0 else sum(ps) + a_
+                tot = jnp.sum(hi_s[pi], dtype=jnp.float32) + jnp.sum(
+                    lo_s[pi], dtype=jnp.float32
+                )
+                acc = acc.at[row, j_].set(tot)
+            out_ref[...] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((K, p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((K * p, lanes), jnp.float32),
+            pltpu.VMEM((K * p, lanes), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*xs, z)

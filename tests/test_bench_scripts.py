@@ -6,6 +6,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
 
@@ -26,6 +28,7 @@ def test_bench_py_smoke():
     assert d["value"] > 0 and d["vs_baseline"] > 0
 
 
+@pytest.mark.slow
 def test_sweep_driver_smoke(tmp_path):
     csv = str(tmp_path / "bl.csv")
     r = _run(["benchmarks/sweep_lanczos.py", "--block", "--n-col", "2",
@@ -46,6 +49,7 @@ def test_weak_scaling_smoke(tmp_path):
     assert len(rows) == 2 and rows[0]["efficiency"] == 1.0
 
 
+@pytest.mark.slow
 def test_kernel_bench_smoke(tmp_path):
     out = str(tmp_path / "k.json")
     r = _run(["benchmarks/kernel_bench.py", "--only", "sqrtm",

@@ -127,3 +127,62 @@ def test_fused_trace_fn_maxwell(rng):
     np.testing.assert_allclose(
         np.asarray(r1.trace), np.asarray(r0.trace), atol=1e-10
     )
+
+
+def test_compensated_gram_f64_oracle(rng):
+    """`block_grams_compensated` reaches O(eps_f32) of the f64 oracle on
+    inputs whose plain-f32 accumulation error is ~10x larger (the
+    reference's all-f64 block driver accuracy from f32 storage,
+    `test_lanczos.cu:349-356` / SURVEY.md §7 'f32 + compensated
+    reductions')."""
+    from lanczos_tpu.ops.pallas.block_dense import (
+        block_grams_compensated,
+    )
+
+    p, n = 4, 1 << 20
+    x = (
+        rng.standard_normal((p, n)) * np.exp(rng.uniform(-6, 6, (p, n)))
+    ).astype(np.float32)
+    z = (
+        rng.standard_normal((p, n)) * np.exp(rng.uniform(-6, 6, (p, n)))
+    ).astype(np.float32)
+    exact = x.astype(np.float64) @ z.astype(np.float64).T
+    g = np.asarray(
+        block_grams_compensated((jnp.asarray(x),), jnp.asarray(z))
+    )[:p]
+    scale = np.abs(exact).max()
+    assert np.abs(g - exact).max() / scale < 5e-7  # ~4 eps_f32
+
+    gz = np.asarray(
+        block_grams_compensated(
+            (jnp.asarray(x),), jnp.asarray(z), include_zz=True
+        )
+    )
+    exact_zz = z.astype(np.float64) @ z.astype(np.float64).T
+    assert (
+        np.abs(gz[p:] - exact_zz).max() / np.abs(exact_zz).max() < 5e-7
+    )
+
+
+def test_compensated_block_lanczos_t_coefficients(rng):
+    """fused + compensated=True from f32 storage tracks the f64 oracle
+    recurrence's T coefficients more closely than the plain-f32 path."""
+    n, p, m = 2048, 4, 6
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / np.sqrt(n)
+    b = rng.standard_normal((p, n))
+    # f64 oracle
+    op64 = MatrixOperator(jnp.asarray(A))
+    r64 = block_lanczos(op64, jnp.asarray(b), m, fused=False)
+    op32 = MatrixOperator(jnp.asarray(A, jnp.float32))
+    b32 = jnp.asarray(b, jnp.float32)
+    r32c = block_lanczos(op32, b32, m, compensated=True)
+    r32p = block_lanczos(op32, b32, m)
+    a64 = np.asarray(r64.alphas)
+    err_c = np.abs(np.asarray(r32c.alphas) - a64).max()
+    err_p = np.abs(np.asarray(r32p.alphas) - a64).max()
+    # both are f32-storage-limited at later steps, but the compensated
+    # first-step coefficients must be at f32-representation level
+    a0_err_c = np.abs(np.asarray(r32c.alphas[0]) - a64[0]).max()
+    assert a0_err_c < 5e-6 * np.abs(a64[0]).max()
+    assert err_c <= err_p * 1.5  # never meaningfully worse overall

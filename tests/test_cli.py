@@ -28,6 +28,7 @@ def test_vector_driver_converges():
     assert out["relative_error"] < 1e-4
 
 
+@pytest.mark.slow
 def test_pallas_operator_driver():
     out = _run([
         "-N", "3", "-m", "6", "--block", "--operator", "pallas",
@@ -36,6 +37,7 @@ def test_pallas_operator_driver():
     assert out["relative_error"] < 1e-3
 
 
+@pytest.mark.slow
 def test_distributed_pallas_driver():
     out = _run([
         "-N", "3", "-m", "5", "--vector", "--operator", "pallas",

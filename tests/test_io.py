@@ -73,6 +73,7 @@ def test_operator_from_file_distributed(tmp_path, rng):
     np.testing.assert_allclose(y, a @ x, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_auto_operator_selection(rng):
     """format='auto' picks by kernel performance class: DIA for
     few-diagonal matrices, windowed-ELL for banded, gathered ELL as the
