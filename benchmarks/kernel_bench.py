@@ -178,7 +178,16 @@ def bench_spmm_dia(n_grid: int, dtype=jnp.float32):
 
 
 def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
-    """Pallas Maxwell stencil SpMM (the TPU-native fast path)."""
+    """Pallas Maxwell stencil SpMM (the TPU-native fast path).
+
+    The shared/tunneled chip's deliverable bandwidth swings ~2x between
+    measurement windows (observed 374-893 GB/s for the SAME copy kernel
+    minutes apart), so a kernel number divided by a copy number from a
+    DIFFERENT window is meaningless — round 3 published "41% of
+    roofline" exactly that way.  Each row therefore carries a copy
+    measurement of the same state footprint taken back-to-back in the
+    same window (`copy_gbps_same_window`) and the ratio
+    (`pct_of_copy`), which is the honest roofline figure."""
     from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
 
     op = PallasMaxwellOperator.create(n_grid, n_grid, n_grid, dtype=dtype, tz=16)
@@ -192,14 +201,19 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
         )
         step = (lambda y, a: a.mv(y)) if p == 1 else (lambda y, a: a.mm(y))
         s = slope_time_chain(step, x, damped, damp=None)
+        # same-window copy of the same state footprint (read + write)
+        s_copy = slope_time_chain(lambda y: y * 1.0000001, x, damp=None)
         bs = jnp.dtype(dtype).itemsize
         nnz = 4 * rows  # logical ELL width 4
         bytes_moved = 2 * rows * max(p, 1) * bs  # read x + write y only
+        state_bytes = 2 * x.nbytes  # physical padded state, read + write
         flops = 2.0 * nnz * max(p, 1)
         out.append({"n_col": p, "rows": rows, "seconds": s,
                     "nnz_per_s": nnz * max(p, 1) / s,
                     "gbps": bytes_moved / s / 1e9,
-                    "gflops": flops / s / 1e9})
+                    "gflops": flops / s / 1e9,
+                    "copy_gbps_same_window": state_bytes / s_copy / 1e9,
+                    "pct_of_copy": 100.0 * s_copy / s})
     return out
 
 
@@ -399,14 +413,29 @@ def main():
             continue
         # REFUSE physically impossible rows (model GB/s above the measured
         # copy roofline can only mean the timing failed to resolve —
-        # VERDICT r3 weak #3); copy_bw itself is exempt (it IS the ceiling)
-        if name != "copy_bw" and jax.devices()[0].platform != "cpu":
-            ceil = 1.05 * _roofline(results)
-            bad = [r for r in rows if r.get("gbps", 0.0) > ceil]
+        # VERDICT r3 weak #3).  Applies to the campaigns whose gbps field
+        # is a PHYSICAL traffic model; the mm_tt/mm_tt2/mm_ts gbps columns
+        # reproduce the reference's analytic formulas, which double-count
+        # operands by design (BASELINE.md note) and legitimately exceed
+        # copy bandwidth.  A row carrying its own same-window copy
+        # measurement is judged against THAT (the shared chip's
+        # deliverable bandwidth swings ~2x between windows); others
+        # against the artifact.
+        _phys = name.startswith("spmm_") or name == "copy_bw"
+        if _phys and name != "copy_bw" and jax.devices()[0].platform != "cpu":
+            art_ceil = 1.05 * _roofline(results)
+            bad = [
+                r for r in rows
+                if r.get("gbps", 0.0) > (
+                    1.10 * r["copy_gbps_same_window"]
+                    if "copy_gbps_same_window" in r
+                    else art_ceil
+                )
+            ]
             if bad:
                 raise SystemExit(
                     f"ROOFLINE VIOLATION in {name}: {bad[0]} exceeds the "
-                    f"measured copy bandwidth ceiling {ceil:.0f} GB/s — "
+                    "same-window (or artifact) copy bandwidth ceiling — "
                     "timing did not resolve; not publishing"
                 )
         results[name] = rows

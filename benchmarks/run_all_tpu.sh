@@ -24,14 +24,14 @@ run kernel_bench 4000 python benchmarks/kernel_bench.py \
 
 # 2. whole-algorithm N_COL sweep 2..18 + single-vector baseline ->
 #    per-vector speedup panel data (lanczos_plots.m:141-150 parity)
-run sweep_ncol 4000 python benchmarks/sweep_lanczos.py --sweep-ncol \
+run sweep_ncol 9000 python benchmarks/sweep_lanczos.py --sweep-ncol \
   --csv benchmarks/results/file_BL_ncol.csv
 
 # 3. problem-size sweeps (block p=4 and single-vector), escalating-m2
 #    protocol: no 1e-09 noise sentinels
-run sweep_block 4000 python benchmarks/sweep_lanczos.py --block \
-  --csv benchmarks/results/file_BL.csv
-run sweep_vector 4000 python benchmarks/sweep_lanczos.py --vector \
+run sweep_block 6000 python benchmarks/sweep_lanczos.py --block \
+  --factor 1.6 --csv benchmarks/results/file_BL.csv
+run sweep_vector 6000 python benchmarks/sweep_lanczos.py --vector \
   --csv benchmarks/results/file_VL.csv
 
 # 4. north-star configs 4-5: 10.5M-row assembled matrix end-to-end

@@ -86,15 +86,23 @@ def measured_copy_bw_gbps(default: float = 651.0) -> float:
 
 
 def check_roofline(row, copy_bw: float) -> None:
-    """Refuse to publish a row whose analytic-model bandwidth exceeds the
-    measured copy roofline — such a row can only mean the timing failed
-    to resolve (noise sentinel), and it must never reach a CSV."""
-    g = row.get("gbps_model", 0.0)
-    if g > 1.05 * copy_bw:
+    """Refuse to publish a physically impossible row: an iteration cannot
+    finish faster than ONE read+write of its block state (the SpMM's
+    minimum traffic) at the measured copy bandwidth.  Such a row can only
+    mean the timing failed to resolve (noise sentinel — the round-3
+    file_VL.csv shipped 2.5e-15 s/iter rows this way), and it must never
+    reach a CSV.  The gbps_model column itself reproduces the
+    reference's analytic formula (`measure_lanczos.cu:268-300`), which
+    double-counts operands by design and is NOT checked against copy
+    bandwidth — the fused path legitimately beats that model's passes."""
+    n, p = row["n"], row["p"]
+    floor = 2.0 * n * 4 * max(p, 1) / (1.20 * copy_bw * 1e9)
+    if row["seconds_per_iter"] < floor:
         raise SystemExit(
-            f"ROOFLINE VIOLATION: model {g:.1f} GB/s > measured copy "
-            f"bandwidth {copy_bw:.1f} GB/s for row {row} — timing did not "
-            "resolve; raise m2/m_max instead of publishing this row"
+            f"ROOFLINE VIOLATION: {row['seconds_per_iter']:.3g} s/iter is "
+            f"below the one-state-pass floor {floor:.3g} s at the measured "
+            f"{copy_bw:.0f} GB/s copy bandwidth for row {row} — timing did "
+            "not resolve; raise m2/m_max instead of publishing this row"
         )
 
 
@@ -112,33 +120,84 @@ def iteration_model(n: int, p: int, width: int = 4, itemsize: int = 4):
     return spmm_bytes + gram_bytes + ts_bytes, flops
 
 
+def _windowed_maxwell_op(N: int):
+    """Assembled Maxwell operator through the windowed-ELL Pallas kernel
+    (the fast ASSEMBLED-matrix path).  This is the regime of the
+    reference's signature per-vector result: an assembled SpMM re-reads
+    the matrix data every application, so block columns amortize it —
+    unlike the matrix-free stencil, whose weights are O(1) and whose
+    per-vector traffic is therefore width-independent.  On TPU the f32
+    sublane tile is 8, so the kernel computes 8 columns at p=1 anyway:
+    block width 8 is nearly free."""
+    import scipy.sparse as sp
+
+    from lanczos_tpu.models.maxwell import maxwell_ell_operator
+    from lanczos_tpu.ops.pallas.window_ell import (
+        PaddedWindowedOperator,
+        windowed_from_scipy,
+    )
+
+    ell = maxwell_ell_operator(N, N, N)
+    n = ell.n_rows_true
+    # np.asarray on a jax array gives a READ-ONLY view; scipy's
+    # sum_duplicates sorts in place — copy
+    data = np.array(ell.data[:n], copy=True)
+    idx = np.array(ell.indices[:n], copy=True)
+    indptr = np.arange(n + 1, dtype=np.int64) * data.shape[1]
+    a = sp.csr_matrix(
+        (data.reshape(-1), idx.reshape(-1).astype(np.int64), indptr),
+        shape=(n, n),
+    )
+    a.sum_duplicates()  # width-pad slots hit (i, 0) with 0.0 values
+    base = windowed_from_scipy(a, reorder="none")
+    return PaddedWindowedOperator(base), base, n
+
+
 def sweep_ncol(args):
     """Whole-algorithm block-width sweep at a FIXED problem size: the
     reference's published N_COL = 2..18 table and its per-vector
     block-vs-single speedup `(1/((t/N_COL)/t_vl) - 1)*100 %`
-    (`lanczos_plots.m:141-150`)."""
+    (`lanczos_plots.m:141-150`).
+
+    --operator windowed sweeps the assembled windowed-ELL operator
+    instead (p restricted to sublane multiples {8, 16} — the kernel's
+    zero-copy block path), where block columns amortize the matrix reads
+    (the reference's regime; the matrix-free stencil has no matrix
+    traffic to amortize, so its per-vector speedup is structurally ~0)."""
     from lanczos_tpu.methods.block_lanczos import block_lanczos
     from lanczos_tpu.methods.vector_lanczos import vector_lanczos
     from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
     from lanczos_tpu.models.rhs import gaussian_matrix_B, gaussian_vector_b
 
     on_cpu = jax.devices()[0].platform == "cpu"
-    N = args.n_max if args.n_max is not None else (8 if on_cpu else 160)
-    op = (PallasMaxwellOperator.create(N, N, N, tz=16) if not on_cpu
-          else PallasMaxwellOperator.create(N, N, N))
-    n = op.n
-    pack, trace_fn = op.pack, op.trace_fn(0)
+    if args.operator == "windowed":
+        N = args.n_max if args.n_max is not None else (8 if on_cpu else 160)
+        op, base, n = _windowed_maxwell_op(N)
+        pack = base.pack
+        trace_fn = lambda q: q.reshape(q.shape[0], -1)[:, 0]
+        p_list = [8, 16]
+    else:
+        N = args.n_max if args.n_max is not None else (8 if on_cpu else 160)
+        op = (PallasMaxwellOperator.create(N, N, N, tz=16) if not on_cpu
+              else PallasMaxwellOperator.create(N, N, N))
+        n = op.n
+        pack, trace_fn = op.pack, op.trace_fn(0)
+        p_list = [2, 4, 6, 8, 10, 12, 14, 16, 18]
 
     bv = pack(jnp.asarray(np.asarray(gaussian_vector_b(N, n), np.float32)))
+    if args.operator == "windowed":
+        bv = bv[0]  # pack() padded the single vector to 8 sublanes
+        vec_trace = lambda q: q.reshape(-1)[0]
+    else:
+        vec_trace = trace_fn
     run_v = lambda m: vector_lanczos(
-        op, bv, m, reorth=args.reorth, trace_fn=trace_fn)
+        op, bv, m, reorth=args.reorth, trace_fn=vec_trace)
     t_vl, m2v = iteration_slope(run_v, args.m1, args.m2)
     print(f"single-vector: {t_vl:.6g} s/iter (m2={m2v})", flush=True)
     copy_bw = measured_copy_bw_gbps()
-    # the vector run publishes no model column, but still refuse a
-    # physically impossible per-iteration time (< one state pass)
+    # refuse a physically impossible vector time (< one state pass)
     state_bytes = 2 * n * 4
-    if (not on_cpu) and t_vl < state_bytes / (1.05 * copy_bw * 1e9):
+    if (not on_cpu) and t_vl < state_bytes / (1.20 * copy_bw * 1e9):
         raise SystemExit(
             f"ROOFLINE VIOLATION: vector iter {t_vl:.3g} s implies "
             f"> {state_bytes / t_vl / 1e9:.0f} GB/s for the SpMV pass alone"
@@ -149,7 +208,7 @@ def sweep_ncol(args):
         "seconds_per_iter": t_vl, "gbps_model": 0.0, "gflops_model": 0.0,
         "per_vector_speedup_pct": 0.0,
     }]
-    for p in [2, 4, 6, 8, 10, 12, 14, 16, 18]:
+    for p in p_list:
         b = pack(jnp.asarray(np.asarray(
             gaussian_matrix_B(N, n, p), np.float32)))
         run = lambda m: block_lanczos(
@@ -193,7 +252,7 @@ def main():
     ap.add_argument("--m1", type=int, default=2)
     ap.add_argument("--m2", type=int, default=12)
     ap.add_argument("--reorth", default="none")
-    ap.add_argument("--operator", default="pallas", choices=["pallas", "stencil"])
+    ap.add_argument("--operator", default="pallas", choices=["pallas", "stencil", "windowed"])
     ap.add_argument("--csv", type=str, default=None)
     ap.add_argument("--sweep-ncol", action="store_true",
                     help="fixed problem size, sweep block width N_COL "

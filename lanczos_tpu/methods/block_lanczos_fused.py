@@ -118,6 +118,12 @@ def block_lanczos_fused(
     cdt = jnp.promote_types(jnp.float32, dtype)
 
     def sqrtm_inv(g):
+        if p == 1:
+            # scalar block: sqrtm is sqrt, pinv is a guarded reciprocal —
+            # skip the (padded) Jacobi machinery entirely
+            s_ = jnp.sqrt(jnp.abs(g.astype(dtype)))
+            ok = s_ > 0
+            return s_, jnp.where(ok, 1.0 / jnp.where(ok, s_, 1.0), 0.0)
         return sqrtm_invsqrtm(
             g.astype(dtype),
             backend=eig_backend,
