@@ -201,8 +201,10 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
         )
         step = (lambda y, a: a.mv(y)) if p == 1 else (lambda y, a: a.mm(y))
         s = slope_time_chain(step, x, damped, damp=None)
-        # same-window copy of the same state footprint (read + write)
-        s_copy = slope_time_chain(lambda y: y * 1.0000001, x, damp=None)
+        # same-window copy of the same state footprint (read + write);
+        # 1 - y is exact in bf16 (a *1.0000001 factor rounds to 1 and the
+        # loop gets elided) and bounded for any chain length
+        s_copy = slope_time_chain(lambda y: 1.0 - y, x, damp=None)
         bs = jnp.dtype(dtype).itemsize
         nnz = 4 * rows  # logical ELL width 4
         bytes_moved = 2 * rows * max(p, 1) * bs  # read x + write y only
@@ -241,7 +243,11 @@ def bench_copy_bw(rows: int, dtype=jnp.float32):
         # `y * c` (not `y + 1`) so XLA cannot strength-reduce the chain.
         n = rows * 4 if p == 1 else rows
         x = jax.random.normal(key, (n,) if p == 1 else (p, n), dtype)
-        s = slope_time_chain(lambda y: y * 1.0000001, x, damp=None)
+        # y <- 1 - y: an involution (values stay bounded for any chain
+        # length), exactly representable in EVERY dtype (y * 1.0000001
+        # rounds to y * 1.0 in bf16 and XLA elides the whole loop), and
+        # not strength-reducible
+        s = slope_time_chain(lambda y: 1.0 - y, x, damp=None)
         bs = jnp.dtype(dtype).itemsize
         bytes_moved = 2 * n * max(p, 1) * bs
         # 'rows' is always the REQUESTED logical row count; the p=1 case

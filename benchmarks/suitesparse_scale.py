@@ -174,7 +174,7 @@ def main():
     sec = slope_time_chain(lambda y, A: A.padded_mm(y), Xp, A_t, damp=None)
     out["spmm_seconds"] = sec
     out["spmm_nnz_per_s"] = a.nnz * args.p / sec
-    copy_sec = slope_time_chain(lambda y: y * 1.0000001, Xp, damp=None)
+    copy_sec = slope_time_chain(lambda y: 1.0 - y, Xp, damp=None)
     pp = Xp.shape[0]
     out["copy_gbps"] = 2 * pp * A.n128 * 4 / copy_sec / 1e9
     # kernel effective traffic vs that roofline

@@ -62,6 +62,16 @@ def build_parser() -> argparse.ArgumentParser:
                     "triggers; 0 disables")
     ap.add_argument("--operator", default="stencil",
                     choices=["stencil", "pallas", "ell"])
+    ap.add_argument("--no-fused", dest="fused", action="store_false",
+                    default=None,
+                    help="force the materialized (reference-semantics) "
+                         "recurrence instead of the traffic-minimal "
+                         "fused path that bare reorth='none' runs use")
+    ap.add_argument("--compensated", action="store_true",
+                    help="TwoProd/TwoSum error-free-transform Gram "
+                         "accumulation: f64-oracle-level T coefficients "
+                         "from f32 storage (the TPU-native stand-in for "
+                         "the reference's all-double block driver)")
     ap.add_argument("--devices", type=int, default=1)
     ap.add_argument("--no-validate", dest="validate", action="store_false")
     ap.add_argument(
@@ -81,6 +91,7 @@ def config_from_args(args) -> LanczosConfig:
         eig_backend=args.eig_backend,
         breakdown_tol=args.breakdown_tol, normalize=args.normalize,
         breakdown_eps=args.breakdown_eps, replace_dead=args.replace_dead,
+        fused=args.fused, compensated=args.compensated,
         operator=args.operator,
         devices=args.devices, validate=args.validate,
         profile_dir=args.profile_dir,
@@ -155,7 +166,8 @@ def run(cfg: LanczosConfig) -> dict:
                           breakdown_tol=cfg.breakdown_tol,
                           normalize=cfg.normalize,
                           breakdown_eps=cfg.breakdown_eps,
-                          replace_dead=cfg.replace_dead)
+                          replace_dead=cfg.replace_dead,
+                          fused=cfg.fused, compensated=cfg.compensated)
             if trace_fn is not None:
                 sol = block_lanczos_expm_action(
                     op, b, cfg.m, cfg.t_end, 0, trace_fn=trace_fn(lc), **kwargs

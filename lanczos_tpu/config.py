@@ -32,6 +32,8 @@ class LanczosConfig:
     normalize: str = "sqrtm"  # sqrtm (reference) | qr (TSQR, rank-safe)
     breakdown_eps: float = 0.0  # rank-revealing deflation threshold
     replace_dead: bool = False  # adaptive restart of collapsed directions
+    fused: bool | None = None   # None=auto: traffic-minimal fused recurrence
+    compensated: bool = False   # error-free-transform Gram accumulation
 
     # execution
     operator: str = "stencil"  # stencil | pallas | ell

@@ -52,7 +52,8 @@ def lanczos_expm_action(
 
 @partial(jax.jit, static_argnames=("m", "reorth", "eig_backend",
                                    "breakdown_tol", "trace_fn", "normalize",
-                                   "breakdown_eps", "replace_dead"))
+                                   "breakdown_eps", "replace_dead",
+                                   "fused", "compensated"))
 def block_lanczos_expm_action(
     a,
     b: jax.Array,
@@ -67,16 +68,20 @@ def block_lanczos_expm_action(
     normalize: str = "sqrtm",
     breakdown_eps: float = 0.0,
     replace_dead: bool = False,
+    fused: bool | None = None,
+    compensated: bool = False,
 ):
     """Row lc (length p) of expm(t_end*A) B via m-step block Lanczos.
     B is BLOCK-MAJOR (p, n); for non-flat operator states pass trace_fn.
     breakdown_eps / replace_dead forward to block_lanczos (deflation /
-    adaptive restart of collapsed directions)."""
+    adaptive restart of collapsed directions); fused / compensated select
+    the traffic-minimal and error-free-transform Gram paths."""
     res = block_lanczos(a, b, m, lc, reorth=reorth, eig_backend=eig_backend,
                         breakdown_tol=breakdown_tol,
                         trace_fn=trace_fn, normalize=normalize,
                         breakdown_eps=breakdown_eps,
-                        replace_dead=replace_dead)
+                        replace_dead=replace_dead, fused=fused,
+                        compensated=compensated)
     p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])
     e = expm_sym(t_end * t, backend="lax")

@@ -39,13 +39,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # target VMEM bytes for all double-buffered operand blocks of one call
-_VMEM_BUDGET = 80 * 1024 * 1024
+# the scoped-vmem limit is 100 MiB; real usage runs ~1.25x the raw
+# double-buffered block bytes (alignment, coeff pads, grid bookkeeping),
+# so plan against a conservative budget
+_VMEM_BUDGET = 56 * 1024 * 1024
 
 
 def _plan_blocks(state_shape, dtype, n_streams, ps):
-    """Pick (lead, bm, pt) tiling of a state shape: leading dims walked by
-    the grid, minor-2 dims split into (bm, pt) blocks.  Returns None if no
-    legal tiling exists (caller falls back to jnp)."""
+    """Pick the tiling of a state shape: leading dims walked by the grid,
+    minor-2 dims split into (bm, pt) blocks (pt | P: these kernels are
+    elementwise across rows, so lanes tile freely — unlike the stencil).
+    Returns ("flat", pt) or ("tiled", lead, bm, pt); None if no legal
+    tiling exists (caller falls back to jnp)."""
     itemsize = jnp.dtype(dtype).itemsize
     sub = 16 if itemsize == 2 else 8
     if len(state_shape) == 1:
@@ -64,18 +69,25 @@ def _plan_blocks(state_shape, dtype, n_streams, ps):
     lead = state_shape[:-2]
     if p_minor % 128 or m % sub:
         return None
-    bm = sub
     maxp = max(ps)
+
+    def cost(bm_, pt_):
+        return maxp * bm_ * pt_ * itemsize * n_streams * 2
+
+    bm, pt = sub, p_minor
+    # shrink lanes until the minimum block fits
+    while cost(bm, pt) > _VMEM_BUDGET and pt % 2 == 0 and (pt // 2) % 128 == 0:
+        pt //= 2
+    if cost(bm, pt) > _VMEM_BUDGET:
+        return None
     # grow bm while VMEM fits and it divides m
     while (
         bm * 2 <= m
         and m % (bm * 2) == 0
-        and maxp * (bm * 2) * p_minor * itemsize * n_streams * 2 <= _VMEM_BUDGET
+        and cost(bm * 2, pt) <= _VMEM_BUDGET
     ):
         bm *= 2
-    if m % bm:
-        return None
-    return ("tiled", lead, bm)
+    return ("tiled", lead, bm, pt)
 
 
 def _as2d(ref_val):
@@ -129,16 +141,16 @@ def block_mix(coeffs: jax.Array, xs, interpret: bool | None = None) -> jax.Array
         )
         out_shape = jax.ShapeDtypeStruct((p_out, n), dtype)
     else:
-        _, lead, bm = plan
+        _, lead, bm, pt = plan
         m, p_minor = state[-2], state[-1]
         r = len(lead)
-        grid = tuple(lead) + (m // bm,)
+        grid = tuple(lead) + (m // bm, p_minor // pt)
 
         def imap(p_i):
             del p_i
-            return lambda *g: (0,) + g[:-1] + (g[-1], 0)
+            return lambda *g: (0,) + g[:-2] + (g[-2], g[-1])
 
-        blk = lambda p_i: (p_i,) + (1,) * r + (bm, p_minor)
+        blk = lambda p_i: (p_i,) + (1,) * r + (bm, pt)
         in_specs = [
             pl.BlockSpec(blk(p_i), imap(p_i), memory_space=pltpu.VMEM)
             for p_i in ps
@@ -228,12 +240,12 @@ def block_grams(
             for p_i in ps
         ] + [pl.BlockSpec((p, pt), lambda b: (0, b), memory_space=pltpu.VMEM)]
     else:
-        _, lead, bm = plan
+        _, lead, bm, pt = plan
         m, p_minor = state[-2], state[-1]
         r = len(lead)
-        grid = tuple(lead) + (m // bm,)
-        imap = lambda *g: (0,) + g[:-1] + (g[-1], 0)
-        blk = lambda p_i: (p_i,) + (1,) * r + (bm, p_minor)
+        grid = tuple(lead) + (m // bm, p_minor // pt)
+        imap = lambda *g: (0,) + g[:-2] + (g[-2], g[-1])
+        blk = lambda p_i: (p_i,) + (1,) * r + (bm, pt)
         in_specs = [
             pl.BlockSpec(blk(p_i), imap, memory_space=pltpu.VMEM)
             for p_i in ps
@@ -364,7 +376,7 @@ def block_grams_compensated(
     elif plan[0] == "flat":
         lane_count = plan[1]
     else:
-        lane_count = state[-1]
+        lane_count = plan[3]
     # two-float per-(pair, lane) scratch must fit VMEM
     scratch_ok = (
         plan is not None and K * p * lane_count * 4 * 2 <= 48 * 1024 * 1024
@@ -412,17 +424,17 @@ def block_grams_compensated(
         ] + [pl.BlockSpec((p, pt), lambda b: (0, b), memory_space=pltpu.VMEM)]
         lanes = pt
     else:
-        _, lead, bm = plan
+        _, lead, bm, pt = plan
         m, pm = state[-2], state[-1]
         r = len(lead)
-        grid = tuple(lead) + (m // bm,)
-        imap = lambda *g: (0,) + g[:-1] + (g[-1], 0)
-        blk = lambda p_i: (p_i,) + (1,) * r + (bm, pm)
+        grid = tuple(lead) + (m // bm, pm // pt)
+        imap = lambda *g: (0,) + g[:-2] + (g[-2], g[-1])
+        blk = lambda p_i: (p_i,) + (1,) * r + (bm, pt)
         in_specs = [
             pl.BlockSpec(blk(p_i), imap, memory_space=pltpu.VMEM)
             for p_i in ps
         ] + [pl.BlockSpec(blk(p), imap, memory_space=pltpu.VMEM)]
-        lanes = pm
+        lanes = pt
 
     out_spec = pl.BlockSpec(
         (K, p), lambda *g: (0, 0), memory_space=pltpu.VMEM

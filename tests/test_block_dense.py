@@ -186,3 +186,39 @@ def test_compensated_block_lanczos_t_coefficients(rng):
     a0_err_c = np.abs(np.asarray(r32c.alphas[0]) - a64[0]).max()
     assert a0_err_c < 5e-6 * np.abs(a64[0]).max()
     assert err_c <= err_p * 1.5  # never meaningfully worse overall
+
+
+def test_lane_tiled_plan(rng, monkeypatch):
+    """Wide-p blocks must lane-tile instead of blowing the VMEM budget
+    (p=6 on the Maxwell state OOMed the 100 MiB scoped limit before the
+    planner learned to split the plane axis)."""
+    import lanczos_tpu.ops.pallas.block_dense as bd
+
+    monkeypatch.setattr(bd, "_VMEM_BUDGET", 256 * 1024)
+    state = (6, 16, 512)
+    plan = bd._plan_blocks(state, jnp.float32, 4, [4, 4, 4, 6])
+    assert plan[0] == "tiled" and plan[3] < 512  # lanes were split
+    xs = [
+        jnp.asarray(rng.standard_normal((4,) + state), jnp.float32)
+        for _ in range(3)
+    ]
+    c = jnp.asarray(rng.standard_normal((12, 6)), jnp.float32)
+    out = bd.block_mix(c, xs)
+    ref = sum(
+        jnp.einsum("kj,k...->j...", c[i * 4 : (i + 1) * 4], xs[i])
+        for i in range(3)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    g = bd.block_grams((xs[0],), xs[1], include_zz=True)
+    zf = np.asarray(xs[1], np.float64).reshape(4, -1)
+    ref_g = np.concatenate(
+        [np.asarray(x, np.float64).reshape(4, -1) @ zf.T for x in (xs[0], xs[1])]
+    )
+    np.testing.assert_allclose(np.asarray(g), ref_g, rtol=1e-4, atol=1e-4)
+    # real-shape plans stay under the scoped limit for every sweep width
+    monkeypatch.setattr(bd, "_VMEM_BUDGET", 56 * 1024 * 1024)
+    for p in (2, 4, 6, 8, 10, 12, 14, 16, 18):
+        plan = bd._plan_blocks((6, 176, 26624), jnp.float32, 4, [p] * 4)
+        assert plan is not None
+        _, lead, bm, pt = plan
+        assert p * bm * pt * 4 * 4 * 2 <= 56 * 1024 * 1024
