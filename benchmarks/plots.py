@@ -240,7 +240,17 @@ def main():
         ax.plot([int(r["p"]) for r in rows],
                 [float(r["per_vector_speedup_pct"]) for r in rows],
                 color=C_OURS, lw=2, marker="o", ms=5,
-                label="this work (TPU v5e)", zorder=3)
+                label="stencil (matrix-free, TPU v5e)", zorder=3)
+        win_csv = os.path.join(args.out, "file_BL_ncol_windowed.csv")
+        if os.path.exists(win_csv):
+            with open(win_csv) as f:
+                wrows = [r for r in csv.DictReader(f) if int(r["p"]) > 1]
+            if wrows:
+                ax.plot([int(r["p"]) for r in wrows],
+                        [float(r["per_vector_speedup_pct"]) for r in wrows],
+                        color="#7a4bd6", lw=2, marker="^", ms=5,
+                        label="windowed ELL (assembled, TPU v5e)",
+                        zorder=3)
         # reference speedup from its published arrays: single-vector
         # t = 0.0166 s, block iteration-pair times / 2
         ref_sp = [(1.0 / ((t / 2 / p) / 0.0166) - 1.0) * 100.0
@@ -251,15 +261,11 @@ def main():
         _style(ax, "per-vector speedup, block vs single Lanczos",
                "block width N_COL", "speedup %")
         # The T4's block win comes from amortizing the gathered-ELL
-        # index traffic over N_COL right-hand sides; the TPU stencil
-        # SpMM has ZERO index traffic, so blocks only add Gram/sqrtm/
-        # update passes per vector and the per-vector ratio goes
-        # negative.  Block width on TPU buys subspace quality
-        # (multiplicity resolution), not per-vector throughput.
-        ax.text(0.02, 0.03, "TPU stencil has no index traffic to\n"
-                "amortize - block adds Gram/sqrtm cost",
-                transform=ax.transAxes, fontsize=7, color="#555555",
-                va="bottom")
+        # data+index traffic over N_COL right-hand sides.  The TPU
+        # ASSEMBLED path (windowed ELL) amortizes the same way; the
+        # matrix-free stencil has no matrix traffic at all, so its
+        # per-vector gain comes only from the fused recurrence's
+        # fixed-cost amortization (small but positive since round 4).
         ax.legend(fontsize=8, frameon=False)
         _save(fig, args.out, "block_speedup.png")
 

@@ -165,6 +165,9 @@ def block_lanczos(
         and not replace_dead
         and getattr(a, "mesh", None) is None
     )
+    # fixed pallas-call costs (~1-2 ms/iteration) only amortize when the
+    # block-state traffic dominates: auto-gate on size
+    big_enough = b.size * jnp.dtype(b.dtype).itemsize >= 16 * 1024 * 1024
     if fused and not fusable:
         raise ValueError(
             "fused=True requires reorth='none', normalize='sqrtm', "
@@ -176,7 +179,7 @@ def block_lanczos(
             "is implemented on the fused path: requires reorth='none', "
             "normalize='sqrtm' and a non-distributed operator"
         )
-    if fusable and fused is not False:
+    if fusable and (fused or compensated or (fused is None and big_enough)):
         from lanczos_tpu.methods.block_lanczos_fused import (
             block_lanczos_fused,
         )

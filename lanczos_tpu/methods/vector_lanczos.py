@@ -96,6 +96,10 @@ def vector_lanczos(
     fused=False forces the classic materialized scan."""
     if reorth not in ("none", "full", "selective"):
         raise ValueError(f"unknown reorth mode {reorth!r}")
+    # the fused path's three pallas calls carry ~1-2 ms of fixed cost per
+    # iteration — a win only when state traffic dominates (auto-dispatch
+    # gates on state size; fused=True forces it regardless)
+    big_enough = b.size * jnp.dtype(b.dtype).itemsize >= 16 * 1024 * 1024
     fusable = (
         reorth == "none"
         and breakdown_tol == 0.0
@@ -106,7 +110,7 @@ def vector_lanczos(
             "fused=True requires reorth='none', breakdown_tol=0 and a "
             "non-distributed operator"
         )
-    if fusable and fused is not False:
+    if fusable and (fused or (fused is None and big_enough)):
         from lanczos_tpu.methods.block_lanczos_fused import (
             block_lanczos_fused,
         )

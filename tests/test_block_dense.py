@@ -80,7 +80,7 @@ def test_fused_matches_materialized(rng, dtype, tol):
     b = jnp.asarray(rng.standard_normal((p, n)), dtype)
     op = MatrixOperator(A)
     r_std = block_lanczos(op, b, m, lc=3, fused=False)
-    r_fus = block_lanczos(op, b, m, lc=3)
+    r_fus = block_lanczos(op, b, m, lc=3, fused=True)
     for name in ("alphas", "betas", "trace", "beta_final"):
         x = np.asarray(getattr(r_std, name))
         y = np.asarray(getattr(r_fus, name))
@@ -96,7 +96,7 @@ def test_fused_store_basis_and_breakdown(rng):
     A = jnp.asarray((A + A.T) / np.sqrt(n), jnp.float64)
     b = jnp.asarray(rng.standard_normal((p, n)), jnp.float64)
     op = MatrixOperator(A)
-    r = block_lanczos(op, b, m, store_basis=True)
+    r = block_lanczos(op, b, m, store_basis=True, fused=True)
     basis = np.asarray(r.basis).reshape(m * p, n)
     g = basis @ basis.T
     np.testing.assert_allclose(g, np.eye(m * p), atol=5e-7)
@@ -107,7 +107,8 @@ def test_fused_store_basis_and_breakdown(rng):
     be = np.zeros((p, n))
     be[0, 0] = be[1, 1] = be[2, 2] = 1.0
     rf = block_lanczos(
-        opd, jnp.asarray(be), 4, breakdown_tol=1e-8, breakdown_eps=1e-10
+        opd, jnp.asarray(be), 4, breakdown_tol=1e-8, breakdown_eps=1e-10,
+        fused=True,
     )
     assert bool(rf.breakdown)
     # frozen steps emit zero blocks
@@ -123,7 +124,7 @@ def test_fused_trace_fn_maxwell(rng):
     op = MaxwellOperator.create(3, 3, 3, dtype=jnp.float64)
     b = jnp.asarray(np.asarray(gaussian_matrix_B(3, op.n, 3), np.float64))
     r0 = block_lanczos(op, b, 7, 11, fused=False)
-    r1 = block_lanczos(op, b, 7, 11)
+    r1 = block_lanczos(op, b, 7, 11, fused=True)
     np.testing.assert_allclose(
         np.asarray(r1.trace), np.asarray(r0.trace), atol=1e-10
     )
@@ -177,7 +178,7 @@ def test_compensated_block_lanczos_t_coefficients(rng):
     op32 = MatrixOperator(jnp.asarray(A, jnp.float32))
     b32 = jnp.asarray(b, jnp.float32)
     r32c = block_lanczos(op32, b32, m, compensated=True)
-    r32p = block_lanczos(op32, b32, m)
+    r32p = block_lanczos(op32, b32, m, fused=True)
     a64 = np.asarray(r64.alphas)
     err_c = np.abs(np.asarray(r32c.alphas) - a64).max()
     err_p = np.abs(np.asarray(r32p.alphas) - a64).max()
