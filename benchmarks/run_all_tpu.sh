@@ -27,6 +27,11 @@ run kernel_bench 4000 python benchmarks/kernel_bench.py \
 run sweep_ncol 9000 python benchmarks/sweep_lanczos.py --sweep-ncol \
   --csv benchmarks/results/file_BL_ncol.csv
 
+# 2b. same sweep over the ASSEMBLED windowed-ELL operator (p in {8,16}) —
+#     the reference's matrix-amortization regime
+run sweep_ncol_win 5000 python benchmarks/sweep_lanczos.py --sweep-ncol \
+  --operator windowed --csv benchmarks/results/file_BL_ncol_windowed.csv
+
 # 3. problem-size sweeps (block p=4 and single-vector), escalating-m2
 #    protocol: no 1e-09 noise sentinels
 run sweep_block 6000 python benchmarks/sweep_lanczos.py --block \
