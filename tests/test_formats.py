@@ -111,3 +111,34 @@ def test_ell_diagonal_helpers(rng):
     np.testing.assert_allclose(
         np.asarray(ell.diag_sqrt()), np.sqrt(d), rtol=2e-6
     )
+
+
+@pytest.mark.parametrize("maker", ["coo", "csr", "bsr", "dia", "ell"])
+def test_to_dense_roundtrip(rng, maker):
+    """Every container's to_dense (the reference's print_as_dense debug
+    surface, ell_matrix.hpp:473-527) reproduces the source matrix."""
+    import scipy.sparse as sp
+
+    from lanczos_tpu.ops.formats import (
+        bsr_from_scipy,
+        coo_from_scipy,
+        csr_from_scipy,
+        dia_from_scipy,
+        ell_from_scipy,
+    )
+
+    n, m = 37, 41
+    a = sp.random(n, m, density=0.15, random_state=7, format="csr")
+    a.data = np.round(a.data * 8) + 1.0  # exact in f32
+    make = {
+        "coo": coo_from_scipy,
+        "csr": csr_from_scipy,
+        "dia": dia_from_scipy,
+        "ell": ell_from_scipy,
+        "bsr": lambda x: bsr_from_scipy(x, block_size=8),
+    }[maker]
+    op = make(a)
+    dense = np.asarray(op.to_dense())
+    ref = a.toarray()
+    assert dense.shape == ref.shape
+    np.testing.assert_allclose(dense, ref, rtol=0, atol=1e-6)
