@@ -120,37 +120,26 @@ def iteration_model(n: int, p: int, width: int = 4, itemsize: int = 4):
     return spmm_bytes + gram_bytes + ts_bytes, flops
 
 
-def _windowed_maxwell_op(N: int):
-    """Assembled Maxwell operator through the windowed-ELL Pallas kernel
-    (the fast ASSEMBLED-matrix path).  This is the regime of the
-    reference's signature per-vector result: an assembled SpMM re-reads
-    the matrix data every application, so block columns amortize it —
-    unlike the matrix-free stencil, whose weights are O(1) and whose
-    per-vector traffic is therefore width-independent.  On TPU the f32
-    sublane tile is 8, so the kernel computes 8 columns at p=1 anyway:
-    block width 8 is nearly free."""
-    import scipy.sparse as sp
-
-    from lanczos_tpu.models.maxwell import maxwell_ell_operator
+def _windowed_banded_op(n_rows: int):
+    """Assembled banded operator through the windowed-ELL Pallas kernel
+    (the fast ASSEMBLED-matrix path; the raw Maxwell ordering's E/H block
+    offsets of ~n/2 exceed any band window, so the fixture is the
+    SuiteSparse-style 11-diagonal SPD matrix the north-star configs use).
+    This is the regime of the reference's signature per-vector result: an
+    assembled SpMM re-reads the matrix data every application, so block
+    columns amortize it — unlike the matrix-free stencil, whose weights
+    are O(1) and whose per-vector traffic is width-independent.  On TPU
+    the f32 sublane tile is 8, so the kernel computes 8 columns at p=1
+    anyway: block width 8 is nearly free."""
     from lanczos_tpu.ops.pallas.window_ell import (
         PaddedWindowedOperator,
         windowed_from_scipy,
     )
+    from suitesparse_scale import synth_suitesparse_banded
 
-    ell = maxwell_ell_operator(N, N, N)
-    n = ell.n_rows_true
-    # np.asarray on a jax array gives a READ-ONLY view; scipy's
-    # sum_duplicates sorts in place — copy
-    data = np.array(ell.data[:n], copy=True)
-    idx = np.array(ell.indices[:n], copy=True)
-    indptr = np.arange(n + 1, dtype=np.int64) * data.shape[1]
-    a = sp.csr_matrix(
-        (data.reshape(-1), idx.reshape(-1).astype(np.int64), indptr),
-        shape=(n, n),
-    )
-    a.sum_duplicates()  # width-pad slots hit (i, 0) with 0.0 values
+    a = synth_suitesparse_banded(n_rows)
     base = windowed_from_scipy(a, reorder="none")
-    return PaddedWindowedOperator(base), base, n
+    return PaddedWindowedOperator(base), base, n_rows
 
 
 def sweep_ncol(args):
@@ -171,8 +160,12 @@ def sweep_ncol(args):
 
     on_cpu = jax.devices()[0].platform == "cpu"
     if args.operator == "windowed":
-        N = args.n_max if args.n_max is not None else (8 if on_cpu else 160)
-        op, base, n = _windowed_maxwell_op(N)
+        # default 10.5M rows (the north-star scale); --n-max N gives N^3
+        # rows for small smoke runs
+        N = args.n_max if args.n_max is not None else (16 if on_cpu else 0)
+        rows = N * N * N if N else 10_485_760
+        N = N or int(round(rows ** (1.0 / 3.0)))  # RHS-builder grid size
+        op, base, n = _windowed_banded_op(rows)
         pack = base.pack
         trace_fn = lambda q: q.reshape(q.shape[0], -1)[:, 0]
         p_list = [8, 16]
@@ -184,11 +177,14 @@ def sweep_ncol(args):
         pack, trace_fn = op.pack, op.trace_fn(0)
         p_list = [2, 4, 6, 8, 10, 12, 14, 16, 18]
 
-    bv = pack(jnp.asarray(np.asarray(gaussian_vector_b(N, n), np.float32)))
     if args.operator == "windowed":
-        bv = bv[0]  # pack() padded the single vector to 8 sublanes
+        # random RHS (the banded fixture has no grid geometry to seed a
+        # Gaussian bump on); pack() pads the single vector to 8 sublanes
+        rng_b = np.random.default_rng(0)
+        bv = pack(jnp.asarray(rng_b.standard_normal(n).astype(np.float32)))[0]
         vec_trace = lambda q: q.reshape(-1)[0]
     else:
+        bv = pack(jnp.asarray(np.asarray(gaussian_vector_b(N, n), np.float32)))
         vec_trace = trace_fn
     run_v = lambda m: vector_lanczos(
         op, bv, m, reorth=args.reorth, trace_fn=vec_trace)
@@ -208,9 +204,21 @@ def sweep_ncol(args):
         "seconds_per_iter": t_vl, "gbps_model": 0.0, "gflops_model": 0.0,
         "per_vector_speedup_pct": 0.0,
     }]
+    csv_f = csv_w = None
+    if args.csv:  # incremental: a late-p OOM/crash loses nothing
+        csv_f = open(args.csv, "w", newline="")
+        csv_w = csv.DictWriter(csv_f, fieldnames=list(rows[0]))
+        csv_w.writeheader()
+        csv_w.writerow(rows[0])
+        csv_f.flush()
     for p in p_list:
-        b = pack(jnp.asarray(np.asarray(
-            gaussian_matrix_B(N, n, p), np.float32)))
+        if args.operator == "windowed":
+            b = pack(jnp.asarray(
+                np.random.default_rng(p).standard_normal((p, n))
+                .astype(np.float32)))
+        else:
+            b = pack(jnp.asarray(np.asarray(
+                gaussian_matrix_B(N, n, p), np.float32)))
         run = lambda m: block_lanczos(
             op, b, m, reorth=args.reorth, trace_fn=trace_fn)
         sec, m2u = iteration_slope(run, args.m1, args.m2)
@@ -225,15 +233,15 @@ def sweep_ncol(args):
         }
         check_roofline(row, copy_bw)
         rows.append(row)
+        if csv_w is not None:
+            csv_w.writerow(row)
+            csv_f.flush()
         print("  ".join(
             f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
             for k, v in row.items()), flush=True)
 
-    if args.csv:
-        with open(args.csv, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[-1]))
-            w.writeheader()
-            w.writerows(rows)
+    if csv_f is not None:
+        csv_f.close()
         print(f"wrote {args.csv}")
 
 
