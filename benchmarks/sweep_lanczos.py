@@ -186,8 +186,12 @@ def sweep_ncol(args):
     else:
         bv = pack(jnp.asarray(np.asarray(gaussian_vector_b(N, n), np.float32)))
         vec_trace = trace_fn
+    # windowed: the fused p=1 path would call mm((1, n)) which the
+    # 8-sublane padded kernel rejects; the classic path's mv() does the
+    # broadcast internally (and IS the natural single-vector cost here)
+    vfused = False if args.operator == "windowed" else None
     run_v = lambda m: vector_lanczos(
-        op, bv, m, reorth=args.reorth, trace_fn=vec_trace)
+        op, bv, m, reorth=args.reorth, trace_fn=vec_trace, fused=vfused)
     t_vl, m2v = iteration_slope(run_v, args.m1, args.m2)
     print(f"single-vector: {t_vl:.6g} s/iter (m2={m2v})", flush=True)
     copy_bw = measured_copy_bw_gbps()
