@@ -39,11 +39,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # target VMEM bytes for all double-buffered operand blocks of one call
-# the scoped-vmem limit is 100 MiB; real usage runs up to ~2x the raw
-# double-buffered block bytes (in-kernel value copies, alignment, grid
-# bookkeeping — measured 107.9 MiB scoped for 54.5 MiB of raw blocks at
-# p=16), so plan against a conservative budget
-_VMEM_BUDGET = 40 * 1024 * 1024
+# the scoped-vmem limit is 100 MiB; real usage runs 1.8-2.9x the raw
+# double-buffered block bytes depending on shape (in-kernel value
+# copies, alignment, grid bookkeeping — measured 107.9 MiB scoped for
+# 54.5 MiB raw at p=16, and 100.4 MiB for 35.1 MiB raw at p=1/bm=32),
+# so plan against a conservative budget
+_VMEM_BUDGET = 32 * 1024 * 1024
 
 
 def _plan_blocks(state_shape, dtype, n_streams, ps):
