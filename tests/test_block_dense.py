@@ -223,3 +223,41 @@ def test_lane_tiled_plan(rng, monkeypatch):
         assert plan is not None
         _, lead, bm, pt = plan
         assert p * bm * pt * 4 * 4 * 2 <= 56 * 1024 * 1024
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_fused_small_m_edges(rng, m):
+    """m=1 (prologue only), m=2 (peeled step, no scan), m=3 (scan length
+    1) all match the materialized recurrence — the fused path's peeled
+    structure makes these genuinely different code paths."""
+    n, p = 320, 4
+    A = rng.standard_normal((n, n))
+    A = jnp.asarray((A + A.T) / np.sqrt(n), jnp.float64)
+    b = jnp.asarray(rng.standard_normal((p, n)), jnp.float64)
+    op = MatrixOperator(A)
+    r0 = block_lanczos(op, b, m, lc=5, fused=False)
+    r1 = block_lanczos(op, b, m, lc=5, fused=True)
+    for name in ("alphas", "betas", "trace", "beta_final"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(r1, name)), np.asarray(getattr(r0, name)),
+            atol=1e-11, err_msg=f"m={m} {name}",
+        )
+
+
+def test_vector_fused_route_matches_classic(rng):
+    """vector_lanczos fused=True (the p=1 fused route with the scalar
+    sqrt fast path) == the classic scan, including beta_final and basis."""
+    from lanczos_tpu.methods.vector_lanczos import vector_lanczos
+
+    n, m = 512, 10
+    A = rng.standard_normal((n, n))
+    A = jnp.asarray((A + A.T) / np.sqrt(n), jnp.float64)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float64)
+    op = MatrixOperator(A)
+    r0 = vector_lanczos(op, b, m, lc=7, fused=False, store_basis=True)
+    r1 = vector_lanczos(op, b, m, lc=7, fused=True, store_basis=True)
+    for name in ("alphas", "betas", "trace", "beta_final", "basis"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(r1, name)), np.asarray(getattr(r0, name)),
+            atol=1e-11, err_msg=name,
+        )
