@@ -197,15 +197,24 @@ def _pallas_copy(y):
     def k(c, o):
         o[...] = 1.0 - c[...]
 
+    # lane-tile wide minor dims (a flat (8, 10M) state would otherwise be
+    # one 336 MB block); any 128-multiple divisor works for a copy
+    pt = shp[-1]
+    while bm * pt * 4 > 4 * 1024 * 1024 and pt % 2 == 0 and (pt // 2) % 128 == 0:
+        pt //= 2
+
     r = len(shp) - 2
-    grid = tuple(shp[:r]) + (shp[-2] // bm,)
-    blk = (1,) * r + (bm, shp[-1])
-    imap = lambda *g: g[:-1] + (g[-1], 0)
+    grid = tuple(shp[:r]) + (shp[-2] // bm, shp[-1] // pt)
+    blk = (1,) * r + (bm, pt)
+    imap = lambda *g: g[:-2] + (g[-2], g[-1])
     return pl.pallas_call(
         k, grid=grid,
         in_specs=[pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(shp, y.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=jax.default_backend() == "cpu",
     )(y)
 

@@ -177,10 +177,20 @@ def main():
     copy_sec = slope_time_chain(lambda y: 1.0 - y, Xp, damp=None)
     pp = Xp.shape[0]
     out["copy_gbps"] = 2 * pp * A.n128 * 4 / copy_sec / 1e9
-    # kernel effective traffic vs that roofline
+    # the Pallas-pipeline ceiling at the same footprint (any Pallas
+    # kernel that both reads and writes HBM caps at ~half the XLA copy
+    # on this chip — see kernel_bench._pallas_copy)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kernel_bench import _pallas_copy
+    pcopy_sec = slope_time_chain(lambda y: _pallas_copy(y), Xp, damp=None)
+    out["pallas_copy_gbps"] = 2 * pp * A.n128 * 4 / pcopy_sec / 1e9
+    # kernel effective traffic vs those rooflines
     kernel_bytes = A.planes_data.size * 8 + 2 * pp * A.n128 * 4
     out["spmm_gbps"] = kernel_bytes / sec / 1e9
     out["spmm_pct_of_copy_bw"] = 100.0 * out["spmm_gbps"] / out["copy_gbps"]
+    out["spmm_pct_of_pallas_copy"] = (
+        100.0 * out["spmm_gbps"] / out["pallas_copy_gbps"]
+    )
     print(f"spmm p={args.p}: {sec*1e3:.3f} ms  "
           f"{out['spmm_nnz_per_s']:.3e} nnz/s  "
           f"{out['spmm_gbps']:.0f} GB/s "
