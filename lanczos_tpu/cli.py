@@ -184,11 +184,13 @@ def run(cfg: LanczosConfig) -> dict:
             sol = lanczos_expm_action(
                 op, b, cfg.m, cfg.t_end, 0, reorth=reorth,
                 breakdown_tol=cfg.breakdown_tol, trace_fn=trace_fn(lc),
+                fused=cfg.fused,
             )
         else:
             sol = lanczos_expm_action(op, b, cfg.m, cfg.t_end, lc,
                                       reorth=reorth,
-                                      breakdown_tol=cfg.breakdown_tol)
+                                      breakdown_tol=cfg.breakdown_tol,
+                                      fused=cfg.fused)
         return b, float(jax.block_until_ready(sol))
 
     t0 = time.perf_counter()

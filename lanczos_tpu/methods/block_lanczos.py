@@ -179,6 +179,12 @@ def block_lanczos(
             "is implemented on the fused path: requires reorth='none', "
             "normalize='sqrtm' and a non-distributed operator"
         )
+    if compensated and fused is False:
+        # ADVICE r4: --no-fused --compensated used to silently run fused
+        raise ValueError(
+            "compensated=True is only implemented on the fused path; "
+            "fused=False contradicts it (drop one of the two)"
+        )
     if fusable and (fused or compensated or (fused is None and big_enough)):
         from lanczos_tpu.methods.block_lanczos_fused import (
             block_lanczos_fused,
@@ -395,13 +401,15 @@ def block_lanczos(
         if reorth == "full":
             # the 1/sigma amplification the q-side cleanup targets only
             # occurs near rank collapse; with breakdown_eps == 0 (no
-            # near-dead handling requested) the residual-side CGS2 below
-            # suffices and the every-step cleanup would roughly double
-            # reorthogonalization cost for nothing (ADVICE r3)
+            # near-dead handling requested) gate it at RUNTIME on the
+            # observed conditioning of the normalization instead of
+            # statically skipping (ADVICE r4: natural beta
+            # ill-conditioning triggers the same drift) — well-
+            # conditioned steps keep the r3 cost savings
             do_clean = (
                 jnp.asarray(True)
                 if (breakdown_eps > 0.0 or replace_dead)
-                else None
+                else rcond <= sqrt_eps
             )
         elif reorth == "periodic":
             do_clean = (j % 2) == 0

@@ -39,7 +39,8 @@ def _select(w, k, which):
 
 @partial(
     jax.jit,
-    static_argnames=("m", "k", "which", "reorth", "compute_vectors"),
+    static_argnames=("m", "k", "which", "reorth", "compute_vectors",
+                     "breakdown_tol", "trace_fn", "fused"),
 )
 def lanczos_eigsh(
     a,
@@ -50,12 +51,21 @@ def lanczos_eigsh(
     which: str = "LA",
     reorth: str = "full",
     compute_vectors: bool = False,
+    breakdown_tol: float = 0.0,
+    trace_fn=None,
+    fused: bool | None = None,
 ):
     """Top-k Ritz pairs from an m-step single-vector Lanczos run.
 
     Returns (values (k,), vectors (n, k) or None, residuals (k,)).
+    breakdown_tol freezes the recurrence on an invariant subspace,
+    trace_fn overrides receiver extraction for non-flat states, and
+    fused forces/forbids the traffic-minimal recurrence — the same
+    solver knobs `block_lanczos_eigsh` already exposed (VERDICT r4 #8).
     """
-    res = vector_lanczos(a, b, m, reorth=reorth, store_basis=compute_vectors)
+    res = vector_lanczos(a, b, m, reorth=reorth, store_basis=compute_vectors,
+                         breakdown_tol=breakdown_tol, trace_fn=trace_fn,
+                         fused=fused)
     t = assemble_tridiagonal(res.alphas, res.betas[1:])
     w, s = jnp.linalg.eigh(t)
     idx = _select(w, k, which)
@@ -76,7 +86,7 @@ def lanczos_eigsh(
     jax.jit,
     static_argnames=("m", "k", "which", "reorth", "compute_vectors", "eig_backend",
                      "eig_sweeps", "normalize", "breakdown_eps", "breakdown_tol",
-                     "replace_dead", "fused"),
+                     "replace_dead", "fused", "compensated"),
 )
 def block_lanczos_eigsh(
     a,
@@ -94,6 +104,7 @@ def block_lanczos_eigsh(
     breakdown_tol: float = 0.0,
     replace_dead: bool = False,
     fused: bool | None = None,
+    compensated: bool = False,
 ):
     """Top-k Ritz pairs from an m-step block-Lanczos run.  b is BLOCK-MAJOR
     (p, n).  Returns (values (k,), vectors (n, k) or None, residuals).
@@ -108,7 +119,7 @@ def block_lanczos_eigsh(
         a, b, m, reorth=reorth, store_basis=compute_vectors,
         eig_backend=eig_backend, eig_sweeps=eig_sweeps, normalize=normalize,
         breakdown_eps=breakdown_eps, breakdown_tol=breakdown_tol,
-        replace_dead=replace_dead, fused=fused,
+        replace_dead=replace_dead, fused=fused, compensated=compensated,
     )
     p = b.shape[0]  # block-major (p, n)
     t = assemble_block_tridiagonal(res.alphas, res.betas[1:])

@@ -28,7 +28,8 @@ from lanczos_tpu.ops.tridiag import (
 )
 
 
-@partial(jax.jit, static_argnames=("m", "reorth", "breakdown_tol", "trace_fn"))
+@partial(jax.jit, static_argnames=("m", "reorth", "breakdown_tol", "trace_fn",
+                                   "fused"))
 def lanczos_expm_action(
     a,
     b: jax.Array,
@@ -39,11 +40,15 @@ def lanczos_expm_action(
     reorth: str = "none",
     breakdown_tol: float = 0.0,
     trace_fn=None,
+    fused: bool | None = None,
 ):
     """Scalar approximation of [expm(t_end*A) b]_{lc} via m-step Lanczos.
-    For non-flat operator states pass trace_fn (see vector_lanczos)."""
+    For non-flat operator states pass trace_fn (see vector_lanczos).
+    fused forces/forbids the traffic-minimal recurrence (ADVICE r4: the
+    CLI's --no-fused was silently ignored on the vector driver)."""
     res = vector_lanczos(a, b, m, lc, reorth=reorth,
-                         breakdown_tol=breakdown_tol, trace_fn=trace_fn)
+                         breakdown_tol=breakdown_tol, trace_fn=trace_fn,
+                         fused=fused)
     t = assemble_tridiagonal(res.alphas, res.betas[1:])
     e = expm_sym(t_end * t, backend="lax")
     # beta_0 * (expm(T) e1) . trace

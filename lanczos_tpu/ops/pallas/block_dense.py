@@ -363,31 +363,43 @@ def block_grams_compensated(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    # the two-float scratch is (K*p, lanes)*2 f32: shrink the lane tile
+    # until it fits the VMEM budget (any 128-multiple divisor works; the
+    # compute is VPU-bound anyway, so small tiles only cost grid steps).
+    # ADVICE r4: the old path fell back to astype(float64), which without
+    # jax_enable_x64 silently computes PLAIN f32 — compensated=True then
+    # returned uncompensated Grams with no warning.
+    scratch_budget = 48 * 1024 * 1024
+    max_lanes = max(scratch_budget // (K * p * 4 * 2) // 128 * 128, 128)
     plan = _plan_blocks(state, dtype, len(xs) + 1, ps + [p])
-    if plan is not None and plan[0] == "flat" and plan[1] > 32768:
-        # the two-float scratch is (K*p, lanes): shrink the flat tile so
-        # it fits (any divisor works; compute is VPU-bound anyway)
+    if plan is not None and plan[0] == "flat":
         n_flat = state[0]
         q = n_flat // 128
-        tq = max(min(32768 // 128, q), 1)
+        tq = max(min(max_lanes // 128, 32768 // 128, q), 1)
         while q % tq:
             tq -= 1
         plan = ("flat", tq * 128)
-    if plan is None:
-        lane_count = 0
-    elif plan[0] == "flat":
         lane_count = plan[1]
-    else:
+    elif plan is not None:
+        _, lead, bm, pt = plan
+        pm = state[-1]
+        q = pm // 128
+        tq = max(min(max_lanes // 128, pt // 128, q), 1)
+        while q % tq:
+            tq -= 1
+        plan = (plan[0], lead, bm, tq * 128)
         lane_count = plan[3]
-    # two-float per-(pair, lane) scratch must fit VMEM
+    else:
+        lane_count = 0
     scratch_ok = (
-        plan is not None and K * p * lane_count * 4 * 2 <= 48 * 1024 * 1024
+        plan is not None and K * p * lane_count * 4 * 2 <= scratch_budget
     )
     if not scratch_ok:
-        # XLA-level two-float fallback: upcast to f64 where real (CPU
-        # x64), else split-einsum compensation
-        fdt = jnp.float64 if jnp.dtype(jnp.float64).itemsize == 8 else None
-        try:
+        # only hit for non-lane-tileable states or pathological K*p
+        # (K*p*128*8 > 48 MiB needs p >= ~150).  With real f64 (x64
+        # enabled) the einsum fallback is genuinely higher-precision;
+        # otherwise refuse loudly instead of silently uncompensating.
+        if jax.config.read("jax_enable_x64"):
             ops = list(xs) + ([z] if include_zz else [])
             zf = z.astype(jnp.float64)
             return jnp.concatenate(
@@ -399,9 +411,12 @@ def block_grams_compensated(
                     for x in ops
                 ]
             ).astype(jnp.float32)
-        except Exception:
-            return block_grams(xs, z, include_zz=include_zz,
-                               interpret=interpret)
+        raise ValueError(
+            "block_grams_compensated: state is not lane-tileable (minor "
+            f"dim of {state} not a multiple of 128) and no exact f64 "
+            "fallback exists without jax_enable_x64; reshape/pad the "
+            "state or use compensated=False"
+        )
 
     offs = [0]
     for p_i in ps:

@@ -261,3 +261,40 @@ def test_vector_fused_route_matches_classic(rng):
             np.asarray(getattr(r1, name)), np.asarray(getattr(r0, name)),
             atol=1e-11, err_msg=name,
         )
+
+
+def test_compensated_scratch_shrink_keeps_compensation(rng):
+    """ADVICE r4 (medium): when the two-float scratch would overflow its
+    VMEM budget at the planner's lane tile, the lane tile must SHRINK and
+    compensation must survive — the old path silently fell back to an
+    astype(float64) einsum that computes plain f32 without x64."""
+    from lanczos_tpu.ops.pallas.block_dense import block_grams_compensated
+
+    # p=10 -> K*p = 20*10 = 200 pairs; at the flat plan's default
+    # <=32768-lane tile the scratch would be 200*32768*8 = 52 MB — just
+    # over the 48 MB budget, forcing the lane-tile shrink path.
+    n, p = 1 << 15, 10
+    x = rng.standard_normal((p, n)).astype(np.float32) * 0.1
+    z = rng.standard_normal((p, n)).astype(np.float32) * 0.1
+    g = block_grams_compensated((jnp.asarray(x),), jnp.asarray(z),
+                                include_zz=True)
+    oracle = np.concatenate([
+        x.astype(np.float64) @ z.astype(np.float64).T,
+        z.astype(np.float64) @ z.astype(np.float64).T,
+    ])
+    scale = np.abs(oracle).max()
+    np.testing.assert_allclose(np.asarray(g), oracle, atol=4e-7 * scale)
+
+
+def test_compensated_non_tileable_raises(rng):
+    """Non-lane-tileable state without x64: loud error, never a silent
+    uncompensated result (ADVICE r4)."""
+    import pytest
+
+    from lanczos_tpu.ops.pallas.block_dense import block_grams_compensated
+
+    if jax.config.read("jax_enable_x64"):
+        pytest.skip("x64 enabled: the exact f64 fallback is legitimate")
+    z = jnp.asarray(rng.standard_normal((2, 7, 33)), jnp.float32)
+    with pytest.raises(ValueError, match="lane-tileable"):
+        block_grams_compensated((), z, include_zz=True)
