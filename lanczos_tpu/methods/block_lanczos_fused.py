@@ -215,8 +215,22 @@ def block_lanczos_fused(
             + _mm(s2.T, _mm(m22, s2))
         )
 
-    def body(carry, _):
-        (u1, u2, u3, M, alpha_prev, beta_prev, dead) = carry
+    # mono=True: the round-5 two-call aliased iteration (see
+    # benchmarks/probes/PROBES_R5.md) — block_mix writes q_j onto u1's
+    # dead buffer and the fused stencil+Gram kernel writes v_j onto u3's
+    # while streaming it for the m13 block; 7 state passes at the ~690
+    # GB/s aliased rate instead of ~8 passes at 330-633.  Donated
+    # buffers must keep stable scan-carry slots, which a single
+    # (u1,u2,u3)->(u2,q,v) rotation violates (XLA inserts defensive
+    # copies); two steps per scan body compose the rotation to identity.
+    mono = (
+        not store_basis
+        and not compensated
+        and hasattr(a, "stencil_gram")
+        and a.supports_stencil_gram(p, dtype)
+    )
+
+    def body_step(u1, u2, u3, M, alpha_prev, beta_prev, dead):
         m11, m12, m13, m22, m23, m33 = M
         s1 = beta_prev.T.astype(karr_dtype)
         s2 = alpha_prev.astype(karr_dtype)
@@ -225,15 +239,20 @@ def block_lanczos_fused(
         invf = inv_j.astype(cdt)
         e = jnp.concatenate([-_mm(s1, invf), -_mm(s2, invf), invf])  # (3p,p)
         e = jnp.where(dead, jnp.zeros_like(e), e)
-        q_j = block_mix(e, (u1, u2, u3))
-        v_j = a.mm(q_j)
-        g2 = grams((q_j,), v_j, include_zz=True)
-        m23n, m33n = g2[:p], g2[p:]
-        # derived blocks for the new triple (u2, q_j, v_j)
         gu2U = jnp.concatenate([m12.T, m22, m23], axis=1)  # (p, 3p)
-        gu3U = jnp.concatenate([m13.T, m23.T, m33], axis=1)
+        if mono:
+            q_j = block_mix(e, (u1, u2, u3), inplace=True)
+            v_j, g3 = a.stencil_gram(q_j, u3)  # v_j aliases u3's buffer
+            m23n, m33n = g3[:p], g3[p : 2 * p]
+            m13n = g3[2 * p :]  # gram(u3, q_j): measured, not derived
+        else:
+            q_j = block_mix(e, (u1, u2, u3))
+            v_j = a.mm(q_j)
+            g2 = grams((q_j,), v_j, include_zz=True)
+            m23n, m33n = g2[:p], g2[p:]
+            gu3U = jnp.concatenate([m13.T, m23.T, m33], axis=1)
+            m13n = _mm(gu3U, e)  # gram(u2, v_j) = gram(u3, q_j)  [A sym.]
         m12n = _mm(gu2U, e)  # gram(u2, q_j)
-        m13n = _mm(gu3U, e)  # gram(u2, v_j) = gram(u3, q_j)  [A symmetric]
         Mfull = jnp.block(
             [[m11, m12, m13], [m12.T, m22, m23], [m13.T, m23.T, m33]]
         )
@@ -247,9 +266,36 @@ def block_lanczos_fused(
             out = out + (q_j,)
         return (u2, q_j, v_j, new_M, alpha_j, beta_j, dead), out
 
+    def body(carry, _):
+        return body_step(*carry)
+
+    def body2(carry, _):
+        c1, o1 = body_step(*carry)
+        c2, o2 = body_step(*c1)
+        outs = jax.tree.map(lambda x, y: jnp.stack([x, y]), o1, o2)
+        return c2, outs
+
     M1 = (m11, m12, m13, m22, m23, m33)
     carry0 = (q0, q1, v1, M1, alpha1, beta1, dead)
-    if m > 2:
+    if m > 2 and mono:
+        n2, rem = divmod(m - 2, 2)
+        carry, outs = carry0, None
+        if n2 > 0:
+            carry, outs2 = jax.lax.scan(body2, carry0, None, length=n2)
+            outs = jax.tree.map(
+                lambda x: x.reshape((2 * n2,) + x.shape[2:]), outs2
+            )
+        if rem:
+            carry, o_last = body_step(*carry)
+            o_last = jax.tree.map(lambda x: x[None], o_last)
+            outs = (
+                o_last
+                if outs is None
+                else jax.tree.map(
+                    lambda x, y: jnp.concatenate([x, y]), outs, o_last
+                )
+            )
+    elif m > 2:
         carry, outs = jax.lax.scan(body, carry0, None, length=m - 2)
     else:
         carry, outs = carry0, None

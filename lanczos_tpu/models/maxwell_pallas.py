@@ -159,6 +159,27 @@ class PallasMaxwellOperator(LinearOperator):
         # loop+stack: no re-stack pass).
         return jax.vmap(self.mv)(U)
 
+    # -- fused Lanczos-iteration support ------------------------------------
+
+    def supports_stencil_gram(self, p: int, dtype=None) -> bool:
+        from lanczos_tpu.ops.pallas.stencil_gram import plan_stencil_gram
+
+        dt = self.dtype if dtype is None else dtype
+        return plan_stencil_gram(p, self.spec_e, dt) is not None
+
+    def stencil_gram(self, q: jax.Array, dst: jax.Array):
+        """(v, g3) = (A q, [gram(q,v); gram(v,v); gram(dst,q)]) in ONE
+        Pallas pass, with v written into dst's DONATED buffer — the
+        round-5 fused-iteration fast path (see
+        `ops/pallas/stencil_gram.py`).  dst must be dead afterwards."""
+        from lanczos_tpu.ops.pallas.stencil_gram import (
+            apply_stencil_pair_gram,
+        )
+
+        return apply_stencil_pair_gram(
+            q, dst, self.wz_t, self.wplane_s, self.spec_e, self.spec_h
+        )
+
     def scaled(self, s) -> "PallasMaxwellOperator":
         """Operator computing (s*A) @ u: folds a scalar prefactor (FDTD
         dt, benchmark damping) into the z-weights so no separate XLA

@@ -98,18 +98,30 @@ def _as2d(ref_val):
     return v.reshape(v.shape[0], -1)
 
 
-def block_mix(coeffs: jax.Array, xs, interpret: bool | None = None) -> jax.Array:
+def block_mix(coeffs: jax.Array, xs, interpret: bool | None = None,
+              inplace: bool = False) -> jax.Array:
     """out[j] = sum_k coeffs[k, j] * cat(xs, axis=0)[k].
 
     coeffs: (K, p_out) with K = sum of the leading dims of xs; xs: tuple of
     (p_i, *state) arrays sharing state shape & dtype.  One HBM read per
-    operand + one write of the (p_out, *state) output."""
+    operand + one write of the (p_out, *state) output.
+
+    inplace=True aliases the output onto xs[0]'s buffer (requires
+    p_out == xs[0].shape[0]; xs[0] must be DEAD afterwards — the caller
+    promises no later use).  On this chip a Pallas kernel writing a fresh
+    buffer caps at ~330-460 GB/s aggregate while the same kernel writing
+    onto a genuinely-read input streams at ~690 (benchmarks/probes/
+    PROBES_R5.md) — the measured basis of the round-5 fused path."""
     xs = tuple(xs)
     state = xs[0].shape[1:]
     dtype = xs[0].dtype
     p_out = coeffs.shape[1]
     ps = [x.shape[0] for x in xs]
     assert coeffs.shape[0] == sum(ps), (coeffs.shape, ps)
+    if inplace and p_out != ps[0]:
+        raise ValueError(
+            f"inplace block_mix needs p_out == xs[0] rows ({p_out} != {ps[0]})"
+        )
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -184,6 +196,7 @@ def block_mix(coeffs: jax.Array, xs, interpret: bool | None = None) -> jax.Array
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
+        input_output_aliases={0: 0} if inplace else {},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
