@@ -217,7 +217,8 @@ def main():
         # only for the final-bound fallback paths.
         block_lanczos(op, Xp, args.m, reorth=args.reorth,
                       eig_backend="newton", normalize="qr",
-                      breakdown_eps=1e-4, replace_dead=True)
+                      breakdown_eps=1e-4, replace_dead=True,
+                      store_basis=True)
     )
     out["lanczos_seconds"] = time.time() - t0
     curve = convergence_curve(
@@ -232,10 +233,40 @@ def main():
     )
     out["iters_to_converge"] = iters
     out["top_ritz"] = curve[-1]["ritz"]
-    out["final_resid"] = curve[-1]["resid"]
+    out["final_resid_bound"] = curve[-1]["resid"]
+
+    # MEASURED relative residuals ||A y - theta y|| / |theta| for the
+    # published pairs (VERDICT r4 missing #3: the |beta_m S| numbers
+    # above are BOUNDS from the T coefficients; after deflation/freeze
+    # they can read 1e-22, which f32 cannot certify — this column is
+    # the backward-error certificate, one extra SpMM per pair).
+    from lanczos_tpu.methods.eigs import ritz_residuals
+    from lanczos_tpu.ops.tridiag import assemble_block_tridiagonal
+
+    t = np.asarray(assemble_block_tridiagonal(res.alphas, res.betas[1:]))
+    w, s = np.linalg.eigh(t)
+    order = np.argsort(w)[::-1]
+    sel = []
+    for i in order:
+        if any(abs(w[i] - w[j]) <= 1e-4 * max(scale, 1.0) for j in sel):
+            continue
+        sel.append(i)
+        if len(sel) == args.k:
+            break
+    basis_flat = np.asarray(res.basis).reshape(args.m * Xp.shape[0], -1)
+    vecs = jnp.asarray(
+        basis_flat.T @ s[:, sel], jnp.float32
+    )  # (n128, k)
+    op_meas = PaddedWindowedOperator(A)
+    meas = np.asarray(
+        ritz_residuals(op_meas, jnp.asarray(w[sel], jnp.float32), vecs)
+    )
+    out["measured_resid"] = [float(x) for x in meas]
     print(f"lanczos m={args.m}: {out['lanczos_seconds']:.1f}s  "
           f"top-{args.k} Ritz {out['top_ritz']}  "
-          f"resid {out['final_resid']}  iters_to_{args.tol}rel: {iters}",
+          f"resid_bound {out['final_resid_bound']}  "
+          f"measured_resid {out['measured_resid']}  "
+          f"iters_to_{args.tol}rel: {iters}",
           flush=True)
 
     if args.dist:
