@@ -418,23 +418,37 @@ def bench_spmm_bsr(n_grid: int, dtype=jnp.float32):
     for name, make in fixtures:
         for bs in [8, 16, 32] if name == "blockstruct" else [8]:
             a_sp = make(bs)
-            a = bsr_from_scipy(a_sp, block_size=bs, dtype=dtype)
-            rows = a.shape[0]
+            bsz = jnp.dtype(dtype).itemsize
             nnz = a_sp.nnz
-            for p in [4, 8]:
-                x = jax.random.normal(key, (p, rows), dtype)
-                s = slope_time_chain(lambda y, a: a.mm(y), x, a, damp=1e-1)
-                bsz = jnp.dtype(dtype).itemsize
-                stored = int(a.data.size)
-                bytes_moved = stored * bsz + a.block_cols.size * 4 \
-                    + 2 * rows * p * bsz
-                out.append({
-                    "fixture": name, "block_size": bs, "n_col": p,
-                    "rows": rows, "stored_nnz": stored, "seconds": s,
-                    "nnz_per_s": nnz * p / s,
-                    "stored_nnz_per_s": stored * p / s,
-                    "gbps": bytes_moved / s / 1e9,
-                })
+            for engine in ("windowed", "einsum"):
+                try:
+                    a = bsr_from_scipy(a_sp, block_size=bs, dtype=dtype,
+                                       engine=engine)
+                except Exception as e:
+                    print(f"  bsr {name} bs={bs} engine={engine} "
+                          f"SKIP: {e}", flush=True)
+                    continue
+                rows = a.shape[0]
+                for p in [4, 8]:
+                    x = jax.random.normal(key, (p, rows), dtype)
+                    s = slope_time_chain(lambda y, a: a.mm(y), x, a,
+                                         damp=1e-1)
+                    if engine == "einsum":
+                        stored = int(a.data.size)
+                        bytes_moved = stored * bsz + a.block_cols.size * 4 \
+                            + 2 * rows * p * bsz
+                    else:
+                        stored = int(a.base.planes_data.size)
+                        bytes_moved = stored * (bsz + 1) \
+                            + 2 * rows * p * bsz
+                    out.append({
+                        "fixture": name, "engine": engine,
+                        "block_size": bs, "n_col": p,
+                        "rows": rows, "stored_nnz": stored, "seconds": s,
+                        "nnz_per_s": nnz * p / s,
+                        "stored_nnz_per_s": stored * p / s,
+                        "gbps": bytes_moved / s / 1e9,
+                    })
     return out
 
 
