@@ -568,6 +568,49 @@ def bench_fused_iter(n_grid: int, dtype=jnp.float32):
     return out
 
 
+def bench_dtype_f64(n_grid: int = 24):
+    """Cost of --dtype float64 on TPU (VERDICT r4 #6b): the reference's
+    default block driver runs double end-to-end
+    (`test_lanczos.cu:349-356`); on TPU f64 is EMULATED (f32-pair
+    arithmetic, f32 range), which works after the round-5 Jacobi tau
+    clamp but at a large slowdown this row documents.  Warm per-
+    iteration time of block Lanczos on the jnp Maxwell operator, f32 vs
+    f64, same window."""
+    import time as _time
+
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+    from lanczos_tpu.methods.block_lanczos import block_lanczos
+    from lanczos_tpu.models.maxwell import MaxwellOperator
+
+    out = []
+    for dt in (jnp.float32, jnp.float64):
+        op = MaxwellOperator.create(n_grid, n_grid, n_grid, dtype=dt)
+        b = jax.random.normal(jax.random.PRNGKey(0), (4, op.n), dt)
+
+        def run(m):
+            r = block_lanczos(op, b, m, 0, fused=False)
+            float(jnp.sum(r.alphas) + jnp.sum(r.beta_final))
+
+        best = {}
+        for m in (3, 7):
+            run(m)
+            t = float("inf")
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                run(m)
+                t = min(t, _time.perf_counter() - t0)
+            best[m] = t
+        sec = (best[7] - best[3]) / 4
+        out.append({"dtype": jnp.dtype(dt).name, "rows": op.n, "n_col": 4,
+                    "seconds_per_iter": sec})
+    out[-1]["slowdown_vs_f32"] = (
+        out[1]["seconds_per_iter"] / out[0]["seconds_per_iter"]
+    )
+    return out
+
+
 BENCHES = {
     "mm_tt": lambda args: bench_mm_tt(args.rows),
     "mm_tt2": lambda args: bench_mm_tt2(args.rows),
@@ -586,6 +629,7 @@ BENCHES = {
     "block_grams_compensated": lambda args: bench_block_grams(
         args.rows, compensated=True),
     "fused_iter": lambda args: bench_fused_iter(args.grid),
+    "dtype_f64": lambda args: bench_dtype_f64(),
 }
 
 

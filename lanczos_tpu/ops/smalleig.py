@@ -76,6 +76,13 @@ def jacobi_eigh(a: jax.Array, sweeps: int = 10):
         # root; the apq == 0 guard also keeps odd-size pad rows decoupled.
         nz = apq != 0.0
         tau = (aqq - app) / jnp.where(nz, 2.0 * apq, 1.0)
+        # near-converged pairs give |tau| ~ 1/apq -> unbounded.  IEEE inf
+        # handling makes t -> 0 anyway, but TPU's EMULATED f64 (f32-pair
+        # arithmetic) only has f32 RANGE: tau*tau then overflows the
+        # emulation and poisons the sweep with NaN (--dtype float64 on
+        # TPU).  Clamping is exact for the rotation: t ~ 1/(2 tau) is
+        # below eps for any |tau| past 1e18.
+        tau = jnp.clip(tau, -1e18, 1e18)
         sgn = jnp.where(tau >= 0.0, 1.0, -1.0).astype(a_.dtype)
         t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(nz, t, 0.0)

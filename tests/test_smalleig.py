@@ -124,3 +124,20 @@ def test_newton_sqrtm_batched_and_conditioned(rng):
         np.testing.assert_allclose(
             si @ np.asarray(s_inv[i]), np.eye(p), atol=1e-5
         )
+
+
+def test_jacobi_near_converged_tau_overflow():
+    """Near-converged pairs give |tau| ~ 1/apq beyond even f64 range;
+    the clamp keeps the sweep finite (on TPU the emulated f64 has only
+    f32 RANGE, so an unclamped tau NaN-poisoned --dtype float64 block
+    runs — round-5 fix)."""
+    from lanczos_tpu.ops.smalleig import jacobi_eigh
+
+    a = jnp.asarray(
+        [[2.0, 1e-300, 0.0], [1e-300, 1.0, 1e-290], [0.0, 1e-290, 0.5]],
+        jnp.float64,
+    )
+    w, v = jacobi_eigh(a, sweeps=10)
+    assert bool(jnp.isfinite(w).all() & jnp.isfinite(v).all())
+    np.testing.assert_allclose(np.sort(np.asarray(w)), [0.5, 1.0, 2.0],
+                               rtol=1e-12)
