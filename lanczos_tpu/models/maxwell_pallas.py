@@ -167,6 +167,27 @@ class PallasMaxwellOperator(LinearOperator):
         dt = self.dtype if dtype is None else dtype
         return plan_stencil_gram(p, self.spec_e, dt) is not None
 
+    def supports_fdtd_inplace(self, p: int, dtype=None) -> bool:
+        from lanczos_tpu.ops.pallas.stencil_fdtd import plan_fdtd_inplace
+
+        dt = self.dtype if dtype is None else dtype
+        return plan_fdtd_inplace(p, self.spec_e, dt) is not None
+
+    def fdtd_step(self, u: jax.Array) -> jax.Array:
+        """u <- u + A u in u's DONATED buffer (ONE ~680 GB/s aliased
+        pass; `ops/pallas/stencil_fdtd.py`).  Call on an operator whose
+        weights already fold dt (`.scaled(dt)`); u must be dead after.
+        u: (6, Zc, P) or (p, 6, Zc, P)."""
+        from lanczos_tpu.ops.pallas.stencil_fdtd import fdtd_step_inplace
+
+        if u.ndim == 3:
+            return fdtd_step_inplace(
+                u[None], self.wz_t, self.wplane_s, self.spec_e, self.spec_h
+            )[0]
+        return fdtd_step_inplace(
+            u, self.wz_t, self.wplane_s, self.spec_e, self.spec_h
+        )
+
     def stencil_gram(self, q: jax.Array, dst: jax.Array):
         """(v, g3) = (A q, [gram(q,v); gram(v,v); gram(dst,q)]) in ONE
         Pallas pass, with v written into dst's DONATED buffer — the

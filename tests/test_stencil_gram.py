@@ -108,3 +108,31 @@ def test_mono_chunked_plane_path(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g3), g_ref, atol=3e-5 * np.abs(g_ref).max()
     )
+
+
+@pytest.mark.parametrize("n,p", [(6, 1), (10, 2), (6, 4)])
+def test_fdtd_inplace_step_matches_two_pass(rng, n, p):
+    """u <- u + (dt A) u via the aliased one-pass kernel == the two-pass
+    kernel+axpy (reference fdtd.hpp semantics), over many chained steps
+    so the delay ring and write-behind schedule are fully exercised."""
+    from lanczos_tpu.methods.fdtd import fdtd_block, fdtd_vector
+
+    op = PallasMaxwellOperator.create(n, n, n, dtype=jnp.float32, tz=16)
+    assert op.supports_fdtd_inplace(p)
+    dt = jnp.float32(0.5 / 50)
+    ops = op.scaled(dt)
+    if p == 1:
+        u0 = op.pack(jnp.asarray(rng.standard_normal(op.n), jnp.float32))
+        got = fdtd_vector(op, u0, 50, 0.5)
+        ref = u0
+        for _ in range(50):
+            ref = ref + ops.mv(ref)
+    else:
+        u0 = op.pack(
+            jnp.asarray(rng.standard_normal((p, op.n)), jnp.float32)
+        )
+        got = fdtd_block(op, u0, 50, 0.5)
+        ref = u0
+        for _ in range(50):
+            ref = ref + ops.mm(ref)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
