@@ -226,6 +226,9 @@ def block_lanczos_fused(
     mono = (
         not store_basis
         and not compensated
+        and p >= 2  # p=1 is fixed-cost-bound: measured 1.73 (3-call) vs
+        #             2.24 ms/iter (mono) at N=160 — the aliased rate
+        #             only pays off once state traffic dominates
         and hasattr(a, "stencil_gram")
         and a.supports_stencil_gram(p, dtype)
     )

@@ -38,6 +38,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# two-float compensated-Gram scratch budget (test-patchable)
+_COMP_SCRATCH_BUDGET = 48 * 1024 * 1024
+
 # target VMEM bytes for all double-buffered operand blocks of one call
 # the scoped-vmem limit is 100 MiB; real usage runs 1.8-2.9x the raw
 # double-buffered block bytes depending on shape (in-kernel value
@@ -382,7 +385,7 @@ def block_grams_compensated(
     # ADVICE r4: the old path fell back to astype(float64), which without
     # jax_enable_x64 silently computes PLAIN f32 — compensated=True then
     # returned uncompensated Grams with no warning.
-    scratch_budget = 48 * 1024 * 1024
+    scratch_budget = _COMP_SCRATCH_BUDGET
     max_lanes = max(scratch_budget // (K * p * 4 * 2) // 128 * 128, 128)
     plan = _plan_blocks(state, dtype, len(xs) + 1, ps + [p])
     if plan is not None and plan[0] == "flat":

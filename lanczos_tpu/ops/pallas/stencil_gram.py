@@ -73,7 +73,11 @@ def plan_stencil_gram(p: int, spec: StencilSpec, dtype) -> tuple | None:
         # q main + lane edges + ~4 z-edges + dst + v out, double-buffered
         return 2 * (unit + n_lane_edges * edge + 4 * zedge + unit + unit)
 
-    if vmem(plane, 1) <= _VMEM_BUDGET:
+    # chunk-width cap: Mosaic compile time explodes on many-tap kernels
+    # with huge lane extents (a pc=13312 p=2 plan compiled for >9 min;
+    # pc<=4096 shapes compile in ~1-2 min and pipeline finer)
+    pc_cap = 4096
+    if plane <= pc_cap and vmem(plane, 1) <= _VMEM_BUDGET:
         return (plane, halo, tz)
     if plane % 256:
         return None
@@ -84,7 +88,7 @@ def plan_stencil_gram(p: int, spec: StencilSpec, dtype) -> tuple | None:
         pc = plane // nc
         if pc < halo:
             return None
-        if vmem(pc, nc) <= _VMEM_BUDGET:
+        if pc <= pc_cap and vmem(pc, nc) <= _VMEM_BUDGET:
             return (pc, halo, tz)
     return None
 

@@ -270,14 +270,21 @@ def test_compensated_scratch_shrink_keeps_compensation(rng):
     astype(float64) einsum that computes plain f32 without x64."""
     from lanczos_tpu.ops.pallas.block_dense import block_grams_compensated
 
-    # p=10 -> K*p = 20*10 = 200 pairs; at the flat plan's default
-    # <=32768-lane tile the scratch would be 200*32768*8 = 52 MB — just
-    # over the 48 MB budget, forcing the lane-tile shrink path.
-    n, p = 1 << 15, 10
-    x = rng.standard_normal((p, n)).astype(np.float32) * 0.1
-    z = rng.standard_normal((p, n)).astype(np.float32) * 0.1
-    g = block_grams_compensated((jnp.asarray(x),), jnp.asarray(z),
-                                include_zz=True)
+    import lanczos_tpu.ops.pallas.block_dense as bd
+
+    # small shapes + a shrunk budget (test-patchable module constant)
+    # force the lane-tile shrink path cheaply: p=4 -> K*p = 32 pairs,
+    # default tile 8192 lanes -> scratch 2.1 MB > the patched 1 MB cap.
+    n, p = 1 << 13, 4
+    bd_orig = bd._COMP_SCRATCH_BUDGET
+    bd._COMP_SCRATCH_BUDGET = 1 * 1024 * 1024
+    try:
+        x = rng.standard_normal((p, n)).astype(np.float32) * 0.1
+        z = rng.standard_normal((p, n)).astype(np.float32) * 0.1
+        g = block_grams_compensated((jnp.asarray(x),), jnp.asarray(z),
+                                    include_zz=True)
+    finally:
+        bd._COMP_SCRATCH_BUDGET = bd_orig
     oracle = np.concatenate([
         x.astype(np.float64) @ z.astype(np.float64).T,
         z.astype(np.float64) @ z.astype(np.float64).T,

@@ -150,7 +150,7 @@ def test_bsr_windowed_engine_matches_dense(rng):
     original row ordering."""
     import scipy.sparse as sp
 
-    n, bs = 264, 8
+    n, bs = 128, 8
     nbr = n // bs
     tri = sp.diags([np.ones(nbr - 1), np.ones(nbr), np.ones(nbr - 1)],
                    [-1, 0, 1], format="csr")
@@ -177,7 +177,7 @@ def test_bsr_windowed_eigsh_end_to_end(rng):
 
     from lanczos_tpu.methods.eigs import block_lanczos_eigsh
 
-    n, bs = 512, 8
+    n, bs = 256, 8
     nbr = n // bs
     tri = sp.diags([np.ones(nbr - 1), np.ones(nbr), np.ones(nbr - 1)],
                    [-1, 0, 1], format="csr")
@@ -192,7 +192,7 @@ def test_bsr_windowed_eigsh_end_to_end(rng):
     ).astype(np.float32)
     op = bsr_from_scipy(a_sp, block_size=bs, engine="windowed")
     b = jnp.asarray(rng.standard_normal((4, n)), jnp.float32)
-    vals, _, _ = block_lanczos_eigsh(op, b, 20, 3, reorth="full")
+    vals, _, _ = block_lanczos_eigsh(op, b, 14, 3, reorth="full")
     ref = seig(a_sp.astype(np.float64), k=3, which="LA",
                return_eigenvectors=False)[::-1]
     np.testing.assert_allclose(np.asarray(vals), ref, rtol=2e-3)

@@ -54,7 +54,7 @@ def test_block_mix_inplace_matches(rng):
         block_mix(jnp.zeros((3 * p, p + 1), jnp.float32), xs, inplace=True)
 
 
-@pytest.mark.parametrize("n,p,m", [(6, 3, 6), (6, 1, 5), (6, 2, 2), (6, 2, 3)])
+@pytest.mark.parametrize("n,p,m", [(6, 3, 5), (6, 1, 5), (6, 2, 2), (6, 2, 3)])
 def test_mono_fused_matches_materialized(rng, n, p, m):
     """The two-call aliased iteration (mono path, auto-dispatched for
     PallasMaxwellOperator) reproduces the reference-semantics
@@ -110,7 +110,7 @@ def test_mono_chunked_plane_path(rng, monkeypatch):
     )
 
 
-@pytest.mark.parametrize("n,p", [(6, 1), (10, 2), (6, 4)])
+@pytest.mark.parametrize("n,p", [(6, 1), (10, 2)])
 def test_fdtd_inplace_step_matches_two_pass(rng, n, p):
     """u <- u + (dt A) u via the aliased one-pass kernel == the two-pass
     kernel+axpy (reference fdtd.hpp semantics), over many chained steps
@@ -119,20 +119,21 @@ def test_fdtd_inplace_step_matches_two_pass(rng, n, p):
 
     op = PallasMaxwellOperator.create(n, n, n, dtype=jnp.float32, tz=16)
     assert op.supports_fdtd_inplace(p)
-    dt = jnp.float32(0.5 / 50)
+    nst = 12  # enough chained steps to exercise the ring + write-behind
+    dt = jnp.float32(0.5 / nst)
     ops = op.scaled(dt)
     if p == 1:
         u0 = op.pack(jnp.asarray(rng.standard_normal(op.n), jnp.float32))
-        got = fdtd_vector(op, u0, 50, 0.5)
+        got = fdtd_vector(op, u0, nst, 0.5)
         ref = u0
-        for _ in range(50):
+        for _ in range(nst):
             ref = ref + ops.mv(ref)
     else:
         u0 = op.pack(
             jnp.asarray(rng.standard_normal((p, op.n)), jnp.float32)
         )
-        got = fdtd_block(op, u0, 50, 0.5)
+        got = fdtd_block(op, u0, nst, 0.5)
         ref = u0
-        for _ in range(50):
+        for _ in range(nst):
             ref = ref + ops.mm(ref)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
