@@ -178,16 +178,21 @@ def bench_spmm_dia(n_grid: int, dtype=jnp.float32):
 
 
 def _pallas_copy(y):
-    """y <- 1 - y through a Pallas grid pipeline — the MOSAIC roofline.
+    """y <- 1 - y through a Pallas grid pipeline — the FRESH-OUTPUT
+    Mosaic roofline.
 
     Measured (quiet windows, v5e): XLA's fused elementwise streams
-    read+write at ~675 GB/s total, but EVERY Pallas kernel that both
-    reads and writes HBM — including this trivial copy, with any block
-    shape, stream count, buffer depth, or hand-written async-DMA
-    pipeline — caps at ~330 GB/s total on this chip (reads alone: 633;
-    writes alone: 580).  A compute kernel therefore cannot beat this
-    number, and kernel efficiency must be judged against it, not against
-    the XLA copy (the stencil sits at ~93% of this ceiling)."""
+    read+write at ~675 GB/s total, while a Pallas kernel writing a
+    freshly allocated output caps at ~330 GB/s at any block shape,
+    stream count, buffer depth, or hand-written async-DMA pipeline
+    (reads alone: 633; writes alone: 580).  Round 5 found the ceiling
+    is an OUTPUT-ALLOCATION artifact: the same kernel with
+    input_output_aliases onto a genuinely-read operand streams at
+    ~650-690 (benchmarks/probes/PROBES_R5.md).  This non-aliased copy
+    therefore remains the honest denominator ONLY for kernels whose
+    output must be a fresh buffer (e.g. the bare w = A q SpMM, where q
+    survives); aliased kernels (the fused iteration, the in-place FDTD
+    step) are judged against the XLA copy."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
