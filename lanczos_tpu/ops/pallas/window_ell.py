@@ -650,15 +650,15 @@ def _spmm_kernel(ng, spg, cpb, ppc, wsz, pp, out_dtype,
         lms, his = [], []
         for k in range(ppc):
             j = c * ppc + k
-            # lidx stored as int8 raw bits of a value in [0, 256):
-            # l & 127 recovers the within-register lane for BOTH halves,
-            # and the int8 SIGN bit is the half-select (l >= 128 wraps
-            # negative) — no widening of the mask op chain
-            l8 = jnp.broadcast_to(lidx_ref[0, j][None, :], (8, LANES))
-            lm = jax.lax.bitwise_and(
-                l8, jnp.asarray(LANES - 1, l8.dtype)
+            # lidx stored as int8 raw bits of a value in [0, 256): widen
+            # once (the TPU target rejects int8 vector compares — the
+            # sign-bit trick compiled only in interpret mode), then
+            # l & 127 recovers the within-register lane for BOTH halves
+            # and the sign of the widened value is the half-select
+            l8 = jnp.broadcast_to(
+                lidx_ref[0, j][None, :], (8, LANES)
             ).astype(jnp.int32)
-            lms.append(lm)
+            lms.append(jax.lax.bitwise_and(l8, jnp.asarray(127, jnp.int32)))
             his.append(l8 < 0)
         for q in range(pp // 8):
             acc = jnp.zeros((8, LANES), jnp.float32)
