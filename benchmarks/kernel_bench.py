@@ -677,10 +677,18 @@ def main():
 
     for name in names:
         print(f"== {name} ==", flush=True)
-        try:
-            rows = BENCHES[name](args)
-        except Exception as e:  # OOM/contention on one bench: keep going
-            print(f"  FAILED: {type(e).__name__}: {str(e)[:200]}", flush=True)
+        rows = None
+        for attempt in range(3):  # remote-compile 500s are transient
+            try:
+                rows = BENCHES[name](args)
+                break
+            except Exception as e:  # OOM/contention/flake: retry
+                print(f"  attempt {attempt} FAILED: {type(e).__name__}: "
+                      f"{str(e)[:200]}", flush=True)
+                import time as _t
+
+                _t.sleep(30)
+        if rows is None:
             continue
         # REFUSE physically impossible rows (model GB/s above the measured
         # copy roofline can only mean the timing failed to resolve —
