@@ -517,14 +517,20 @@ def block_grams_compensated(
         @pl.when(last)
         def _():
             # lane reduce: each lane's hi is ~result/lanes, so a plain sum
-            # of his costs eps*sqrt(lanes)*|result|/lanes ~ eps*|result|/18
+            # of his costs eps*sqrt(lanes)*|result|/lanes ~ eps*|result|/18.
+            # Scatter-free (real TPUs: .at[].set lowers to an unsupported
+            # Mosaic scatter, and stacking scalars needs an unsupported
+            # shape cast — both only ran in interpret mode): place each
+            # scalar via a broadcast-iota mask add on the tiny (K, p) tile.
+            ri = jax.lax.broadcasted_iota(jnp.int32, (K, p), 0)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (K, p), 1)
             acc = jnp.zeros((K, p), jnp.float32)
             for pi, (i, a_, j_) in enumerate(pairs):
                 row = offs[i] + a_ if i >= 0 else sum(ps) + a_
                 tot = jnp.sum(hi_s[pi], dtype=jnp.float32) + jnp.sum(
                     lo_s[pi], dtype=jnp.float32
                 )
-                acc = acc.at[row, j_].set(tot)
+                acc = acc + jnp.where((ri == row) & (ci == j_), tot, 0.0)
             out_ref[...] = acc
 
     return pl.pallas_call(
