@@ -451,20 +451,25 @@ def windowed_from_scipy(
 
     # two candidate packings (VERDICT r4 weak #3): per-k (tight for
     # banded orderings) vs aligned-window greedy (immune to the k-th-
-    # nonzero scatter that blew RCM orderings to ppc 34) — the cheap
-    # count-only greedy pass caps the per-k attempt, and whichever
-    # yields fewer planes wins
-    ppc_g = _pack_planes_greedy(
-        a.indptr, a.indices, a.data, n, 1 << 30, count_only=True
-    )
+    # nonzero scatter that blew RCM orderings to ppc 34).  The greedy
+    # count pass costs an O(nnz log nnz) lexsort (~1 min at 115M nnz),
+    # so it only runs when per-k lands well above its own lower bound
+    # (the max row-nonzero count) — i.e. when scatter is actually
+    # hurting; whichever packing yields fewer planes wins.
+    mrow = int(np.diff(a.indptr).max()) if n else 1
     try:
         planes_dat, planes_lidx, planes_fabs = _pack_planes(
-            a.indptr, a.indices, a.data.astype(npdt), n,
-            min(ppc_cap, max(ppc_g, 1)),
+            a.indptr, a.indices, a.data.astype(npdt), n, ppc_cap
         )
+        if planes_dat.shape[1] > max(1.5 * mrow, mrow + 2):
+            ppc_g = _pack_planes_greedy(
+                a.indptr, a.indices, a.data, n, 1 << 30, count_only=True
+            )
+            if ppc_g < planes_dat.shape[1]:
+                planes_dat, planes_lidx, planes_fabs = _pack_planes_greedy(
+                    a.indptr, a.indices, a.data.astype(npdt), n, ppc_cap
+                )
     except PlanError:
-        if ppc_g > ppc_cap:
-            raise
         planes_dat, planes_lidx, planes_fabs = _pack_planes_greedy(
             a.indptr, a.indices, a.data.astype(npdt), n, ppc_cap
         )
