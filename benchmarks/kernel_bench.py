@@ -499,7 +499,12 @@ def bench_block_grams(rows: int, dtype=jnp.float32, compensated=False):
     g = block_grams_compensated if compensated else block_grams
     out = []
     key = jax.random.PRNGKey(0)
-    for p in NCOLS:
+    # the compensated kernel unrolls 2*p^2 TwoProd/TwoSum pair chains;
+    # past p=8 the generated program OOMs the remote compile helper
+    # (SIGKILL), so its campaign documents the cost at p <= 8 (which
+    # covers every compensated use in the library and tests)
+    cols = [p for p in NCOLS if p <= 8] if compensated else NCOLS
+    for p in cols:
         k1, k2 = jax.random.split(jax.random.fold_in(key, p))
         x = jax.random.normal(k1, (p, rows), dtype)
         z = jax.random.normal(k2, (p, rows), dtype)
