@@ -363,9 +363,13 @@ def block_grams_compensated(
 ) -> jax.Array:
     """Compensated gram(cat(xs), z) — same contract as `block_grams`, but
     every scalar product enters a two-float accumulator, so the result
-    carries O(eps) relative error instead of O(eps * sqrt(n)).  Costs
-    ~2-3x the plain kernel's wall time (VPU-bound TwoProd/TwoSum instead
-    of MXU dots) — the accuracy option, not the default.
+    carries O(eps) relative error instead of O(eps * sqrt(n)).  Measured
+    on chip: ~1e-7 of the f64 oracle on wide-dynamic-range inputs, at
+    ~11-14 GB/s (p<=8, `kernels.json block_grams_compensated`) — the
+    VPU TwoProd/TwoSum chains cost ~30-60x the MXU Gram's wall time but
+    remain far cheaper than full f64 emulation (~82x an ENTIRE f32
+    iteration, `kernels.json dtype_f64`).  The accuracy option, not the
+    default.
 
     Requires a lane-tileable state; otherwise falls back to an f64 einsum
     (exact on CPU with x64; on TPU the fallback emulates in extended
